@@ -1,0 +1,154 @@
+"""SVGF temporal reprojection.
+
+Re-derivation of shaders/svgf_reproject.frag: demodulate the 1spp color,
+back-project via motion vectors, validate the 4 bilinear taps against
+depth/normal consistency, 3x3 cross-bilateral rescue when all fail, then EMA
+of illumination and luminance moments with history-length control.
+
+Default bilinear weights are the standard pixel-space fractional weights; the
+reference's sub-pixel-scaled weights (svgf_reproject.frag:84-91 computes the
+fraction in *uv* units, making taps 1-3 nearly weightless) are available via
+reference_quirks.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuray.denoise.common import gather2d, luminance
+from tpuray.scene.config import RenderConfig
+
+Array = jax.Array
+
+
+class ReprojectOutput(NamedTuple):
+    illum: Array      # (H, W, 3) temporally accumulated illumination
+    variance: Array   # (H, W)
+    moments: Array    # (H, W, 2)
+    history_len: Array  # (H, W)
+
+
+def _valid_tap(yi, xi, in_bounds, z_cur, z_prev, fw_z, n_cur, n_prev, fw_n, cfg):
+    """isReprjValid (svgf_reproject.frag:31-43)."""
+    depth_ok = (jnp.abs(z_prev - z_cur) / (fw_z + 1e-2)) <= cfg.reproj_depth_threshold
+    ndist = jnp.linalg.norm(n_cur - n_prev, axis=-1)
+    normal_ok = (ndist / (fw_n + 1e-2)) <= cfg.reproj_normal_threshold
+    return in_bounds & depth_ok & normal_ok
+
+
+def reproject(color: Array, emission: Array, albedo: Array,
+              motion: Array, normal: Array, linear_z: Array,
+              fwidth_normal: Array, fwidth_z: Array,
+              prev_illum: Array, prev_variance: Array,
+              prev_normal: Array, prev_linear_z: Array,
+              prev_moments: Array, prev_history_len: Array,
+              cfg: RenderConfig) -> ReprojectOutput:
+    h, w = color.shape[:2]
+    yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+
+    sky = linear_z == 1.0
+
+    # demodulate (svgf_reproject.frag:26-29, 174)
+    illum = (color - emission) / jnp.maximum(albedo, 1e-3)
+    illum = jnp.where(jnp.isnan(illum), 0.0, illum)
+
+    # back-projected float pixel position: uv_prev = uv - motion; pixel
+    # centers at (i + 0.5)
+    uv_x = (xx.astype(jnp.float32) + 0.5) / w - motion[..., 0]
+    uv_y = (yy.astype(jnp.float32) + 0.5) / h - motion[..., 1]
+    fx = uv_x * w - 0.5
+    fy = uv_y * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    if cfg.reference_quirks:
+        # frac computed in uv units (svgf_reproject.frag:84-85): w/h times
+        # smaller, so tap 0 dominates
+        frac_x = (uv_x % (1.0 / w))
+        frac_y = (uv_y % (1.0 / h))
+    else:
+        frac_x = fx - x0
+        frac_y = fy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    prev_illum_v = jnp.concatenate([prev_illum, prev_variance[..., None]], axis=-1)
+    prev_m = prev_moments
+
+    taps = [(0, 0), (1, 0), (0, 1), (1, 1)]
+    weights = [
+        (1 - frac_x) * (1 - frac_y), frac_x * (1 - frac_y),
+        (1 - frac_x) * frac_y, frac_x * frac_y,
+    ]
+
+    sum_w = jnp.zeros((h, w), jnp.float32)
+    acc_illum = jnp.zeros((h, w, 4), jnp.float32)
+    acc_mom = jnp.zeros((h, w, 2), jnp.float32)
+    any_valid = jnp.zeros((h, w), bool)
+    for (dx, dy), wt in zip(taps, weights):
+        xi = x0i + dx
+        yi = y0i + dy
+        in_b = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        zp = gather2d(prev_linear_z, yi, xi)
+        np_ = gather2d(prev_normal, yi, xi)
+        v = _valid_tap(yi, xi, in_b, linear_z, zp, fwidth_z, normal, np_,
+                       fwidth_normal, cfg)
+        any_valid = any_valid | v
+        wv = jnp.where(v, wt, 0.0)
+        sum_w = sum_w + wv
+        acc_illum = acc_illum + wv[..., None] * gather2d(prev_illum_v, yi, xi)
+        acc_mom = acc_mom + wv[..., None] * gather2d(prev_m, yi, xi)[..., :2]
+
+    bilinear_ok = any_valid & (sum_w >= 0.01)
+    safe_w = jnp.maximum(sum_w, 1e-6)
+    prev_i = jnp.where(bilinear_ok[..., None], acc_illum / safe_w[..., None], 0.0)
+    prev_mo = jnp.where(bilinear_ok[..., None], acc_mom / safe_w[..., None], 0.0)
+
+    # 3x3 cross-bilateral rescue (svgf_reproject.frag:111-141)
+    n_valid = jnp.zeros((h, w), jnp.float32)
+    r_illum = jnp.zeros((h, w, 4), jnp.float32)
+    r_mom = jnp.zeros((h, w, 2), jnp.float32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            xi = x0i + dx
+            yi = y0i + dy
+            in_b = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            zp = gather2d(prev_linear_z, yi, xi)
+            np_ = gather2d(prev_normal, yi, xi)
+            v = _valid_tap(yi, xi, in_b, linear_z, zp, fwidth_z, normal, np_,
+                           fwidth_normal, cfg)
+            vf = v.astype(jnp.float32)
+            n_valid = n_valid + vf
+            r_illum = r_illum + vf[..., None] * gather2d(prev_illum_v, yi, xi)
+            r_mom = r_mom + vf[..., None] * gather2d(prev_m, yi, xi)[..., :2]
+    rescue_ok = (~bilinear_ok) & (n_valid > 0)
+    safe_n = jnp.maximum(n_valid, 1.0)
+    prev_i = jnp.where(rescue_ok[..., None], r_illum / safe_n[..., None], prev_i)
+    prev_mo = jnp.where(rescue_ok[..., None], r_mom / safe_n[..., None], prev_mo)
+
+    success = bilinear_ok | rescue_ok
+
+    # history length fetched at the reprojected position (frag:143-147)
+    h_prev = gather2d(prev_history_len, jnp.round(fy).astype(jnp.int32),
+                      jnp.round(fx).astype(jnp.int32))
+    hist = jnp.minimum(cfg.history_cap, jnp.where(success, h_prev + 1.0, 1.0))
+
+    alpha = jnp.where(success, jnp.maximum(cfg.alpha_min, 1.0 / hist), 1.0)
+
+    lum = luminance(illum)
+    mom_new = jnp.stack([lum, lum * lum], axis=-1)
+    moments = (1.0 - alpha)[..., None] * prev_mo + alpha[..., None] * mom_new
+    variance = jnp.maximum(0.0, moments[..., 1] - moments[..., 0] ** 2)
+
+    out_illum = (1.0 - alpha)[..., None] * prev_i[..., :3] + alpha[..., None] * illum
+
+    # sky passthrough (frag:166-171): raw color, keep prior moments buffer
+    out_illum = jnp.where(sky[..., None], color, out_illum)
+    variance = jnp.where(sky, prev_i[..., 3] * 0.0, variance)
+    prev_mom_same_pix = prev_moments  # frag:169 reads prev moments at uv
+    moments = jnp.where(sky[..., None], prev_mom_same_pix, moments)
+    hist = jnp.where(sky, prev_history_len, hist)
+
+    return ReprojectOutput(illum=out_illum, variance=variance,
+                           moments=moments, history_len=hist)

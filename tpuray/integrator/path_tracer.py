@@ -1,0 +1,302 @@
+"""The path-tracing integrator: 1spp progressive tracing with NEE.
+
+Re-derivation of the reference megakernel's light transport
+(path_tracing.frag:948-1128) as pure differentiable jnp over ray wavefronts:
+
+  per bounce: nearest-hit traversal (non-differentiable topology) ->
+  differentiable hit resolution (re-gather triangle/material by index) ->
+  BSDF sampling (Sobol + Cranley-Patterson + Wang-hash stream, matching the
+  reference's draw order) -> shade() combining envmap NEE, point-light NEE
+  and BSDF emissive hits with pdf-proportional weights
+  (path_tracing.frag:960-967) -> throughput update.
+
+Gradients flow to MaterialTable rows, PointLights radiance/position and the
+envmap image; hit topology (triangle indices, traversal t) is stopped.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuray.integrator import disney
+from tpuray.integrator.disney import ShadeMaterial
+from tpuray.integrator.intersect import INF, barycentrics, trace
+from tpuray.sampling import envmap as env
+from tpuray.sampling import rng
+from tpuray.scene.config import RenderConfig
+from tpuray.scene.types import Scene
+
+Array = jax.Array
+PI = np.float32(np.pi)
+EPS = np.float32(1e-6)
+
+
+class Hit(NamedTuple):
+    valid: Array      # (N,) bool
+    point: Array      # (N, 3)
+    normal: Array     # (N, 3) shading normal (flipped toward ray origin side)
+    geo_normal: Array  # (N, 3) flipped geometric normal
+    inside: Array     # (N,) bool
+    uv: Array         # (N, 2)
+    mat: ShadeMaterial
+    tri_idx: Array    # (N,) int32
+    t: Array          # (N,)
+
+
+def _gather_material(scene: Scene, mat_id: Array) -> ShadeMaterial:
+    m = scene.materials
+    return ShadeMaterial(
+        emissive=m.emissive[mat_id], base_color=m.base_color[mat_id],
+        subsurface=m.subsurface[mat_id], metallic=m.metallic[mat_id],
+        specular=m.specular[mat_id], specular_tint=m.specular_tint[mat_id],
+        roughness=m.roughness[mat_id], sheen=m.sheen[mat_id],
+        sheen_tint=m.sheen_tint[mat_id], clearcoat=m.clearcoat[mat_id],
+        clearcoat_gloss=m.clearcoat_gloss[mat_id],
+    )
+
+
+def _tex_fetch(scene: Scene, obj_id: Array, layer: int, uv: Array) -> Array:
+    """Bilinear fetch from the per-object texture stack (layer 0..3)."""
+    tex = scene.textures.data  # (O, 4, H, W, 3)
+    o, _, h, w, _ = tex.shape
+    u = jnp.clip(uv[..., 0], 0.0, 1.0)
+    v = jnp.clip(1.0 - uv[..., 1], 0.0, 1.0)  # GL images are y-up
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    obj = jnp.clip(obj_id, 0, o - 1)
+    c00 = tex[obj, layer, y0i, x0i]
+    c10 = tex[obj, layer, y0i, x1i]
+    c01 = tex[obj, layer, y1i, x0i]
+    c11 = tex[obj, layer, y1i, x1i]
+    return (c00 * (1 - fx) + c10 * fx) * (1 - fy) + (c01 * (1 - fx) + c11 * fx) * fy
+
+
+def resolve_hit(scene: Scene, orig: Array, d: Array, t: Array, idx: Array,
+                cfg: RenderConfig) -> Hit:
+    """Differentiable hit resolution from (t, triangle index) topology.
+
+    Equivalent of hitArray's material/normal resolution
+    (path_tracing.frag:298-369): smooth normal from barycentric vertex
+    normals, texture-driven material via the negative-value sentinel,
+    optional normal mapping through the per-triangle TBN.
+    """
+    valid = idx >= 0
+    i = jnp.maximum(idx, 0)
+    t = jax.lax.stop_gradient(jnp.where(valid, t, 1.0))
+    tri = scene.triangles
+
+    p0, p1, p2 = tri.p0[i], tri.p1[i], tri.p2[i]
+    point = orig + d * t[..., None]
+
+    ng = jnp.cross(p1 - p0, p2 - p0)
+    ng = ng / jnp.maximum(jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-30)
+    inside = jnp.sum(ng * d, axis=-1) > 0.0
+    ng_f = jnp.where(inside[..., None], -ng, ng)
+
+    a, b, c = barycentrics(point, p0, p1, p2, cfg.reference_quirks)
+    ns = (a[..., None] * tri.n0[i] + b[..., None] * tri.n1[i] + c[..., None] * tri.n2[i])
+    ns = ns / jnp.maximum(jnp.linalg.norm(ns, axis=-1, keepdims=True), 1e-30)
+    ns = jnp.where(inside[..., None], -ns, ns)
+
+    uv = (a[..., None] * tri.uv0[i] + b[..., None] * tri.uv1[i] + c[..., None] * tri.uv2[i])
+
+    mat = _gather_material(scene, tri.mat_id[i])
+    if scene.textures is not None:
+        obj = tri.obj_id[i]
+        tex_albedo = _tex_fetch(scene, obj, 0, uv)
+        tex_metallic = _tex_fetch(scene, obj, 1, uv)[..., 0]
+        tex_rough = _tex_fetch(scene, obj, 3, uv)[..., 0]
+        base_neg = jnp.any(mat.base_color < 0.0, axis=-1, keepdims=True)
+        mat = mat._replace(
+            base_color=jnp.where(base_neg, tex_albedo, mat.base_color),
+            metallic=jnp.where(mat.metallic < 0.0, tex_metallic, mat.metallic),
+            roughness=jnp.where(mat.roughness < 0.0, tex_rough, mat.roughness),
+        )
+        if cfg.use_normal_map:
+            e1 = p1 - p0
+            e2 = p2 - p0
+            duv1 = tri.uv1[i] - tri.uv0[i]
+            duv2 = tri.uv2[i] - tri.uv0[i]
+            det = duv1[..., 0] * duv2[..., 1] - duv2[..., 0] * duv1[..., 1]
+            f = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+            tangent = f[..., None] * (duv2[..., 1:2] * e1 - duv1[..., 1:2] * e2)
+            tangent = tangent / jnp.maximum(
+                jnp.linalg.norm(tangent, axis=-1, keepdims=True), 1e-20)
+            bitangent = jnp.cross(tangent, ns)
+            tex_n = _tex_fetch(scene, obj, 2, uv) * 2.0 - 1.0
+            tex_n = tex_n / jnp.maximum(jnp.linalg.norm(tex_n, axis=-1, keepdims=True), 1e-20)
+            mapped = (tex_n[..., 0:1] * tangent + tex_n[..., 1:2] * bitangent
+                      + tex_n[..., 2:3] * ns)
+            ns = mapped / jnp.maximum(jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-20)
+    else:
+        # sentinel without textures: clamp so shading stays sane
+        mat = mat._replace(
+            base_color=jnp.abs(mat.base_color),
+            metallic=jnp.abs(mat.metallic),
+            roughness=jnp.abs(mat.roughness),
+        )
+
+    return Hit(valid=valid, point=point, normal=ns, geo_normal=ng_f,
+               inside=inside, uv=uv, mat=mat, tri_idx=idx, t=t)
+
+
+def _env_nee(scene: Scene, hit: Hit, v: Array, seed: Array,
+             hdr_resolution) -> tuple[Array, Array, Array]:
+    """Envmap light sample with shadow ray (hdriLight,
+    path_tracing.frag:922-946). Returns (contribution, pdf, next_seed)."""
+    r1, seed = rng.rand(seed)
+    r2, seed = rng.rand(seed)
+    l = env.sample_env(scene.envmap.cache, r1, r2)
+
+    _, sidx = trace(scene.bvh, scene.triangles, hit.point, l, any_hit=True)
+    blocked = sidx >= 0
+
+    radiance = env.env_radiance(scene.envmap.image, l)
+    f_r = disney.evaluate(v, hit.normal, l, hit.mat)
+    p = env.env_pdf(scene.envmap.cache, l, hdr_resolution)
+    p = jnp.where(blocked, 0.0, p)
+    contrib = (f_r * jnp.abs(jnp.sum(l * hit.normal, axis=-1))[..., None]
+               * radiance / jnp.maximum(p, 1e-12)[..., None])
+    contrib = jnp.where(blocked[..., None], 0.0, contrib)
+    return contrib, p, seed
+
+
+def _point_nee(scene: Scene, hit: Hit, v: Array, seed: Array
+               ) -> tuple[Array, Array, Array]:
+    """Point-light sample with shadow ray (calculatePointLight,
+    path_tracing.frag:884-919): uniform light pick, pdf = 2*pi/n_lights,
+    quadratic falloff."""
+    n_lights = scene.lights.count
+    if n_lights == 0:
+        z = jnp.zeros(hit.point.shape, jnp.float32)
+        return z, jnp.zeros(hit.point.shape[:-1], jnp.float32), seed
+
+    u, seed = rng.rand(seed)
+    li = jnp.minimum((u * n_lights).astype(jnp.int32), n_lights - 1)
+    lpos = scene.lights.position[li]
+    lrad = scene.lights.radiance[li]
+
+    delta = lpos - hit.point
+    dist = jnp.linalg.norm(delta, axis=-1)
+    ldir = delta / jnp.maximum(dist[..., None], 1e-12)
+
+    st, sidx = trace(scene.bvh, scene.triangles, hit.point, ldir,
+                     t_max=dist, any_hit=True)
+    shadowed = sidx >= 0
+
+    pdf = jnp.full(dist.shape, 2.0 * PI / n_lights, jnp.float32)
+    falloff = lrad / jnp.maximum(dist * dist, 1e-12)[..., None]
+    f_r = disney.evaluate(v, hit.normal, ldir, hit.mat)
+    contrib = (falloff * f_r
+               * jnp.abs(jnp.sum(ldir * hit.normal, axis=-1))[..., None] / pdf[..., None])
+    contrib = jnp.where(shadowed[..., None], 0.0, contrib)
+    return contrib, pdf, seed
+
+
+class PTOutput(NamedTuple):
+    color: Array     # (N, 3) per-ray radiance (1 spp)
+    emission: Array  # (N, 3) first-hit emissive
+    albedo: Array    # (N, 3) first-hit base color (texture-resolved)
+    first_hit_t: Array     # (N,) traversal t of the primary ray (INF = sky)
+    first_hit_valid: Array  # (N,) bool
+    first_hit_point: Array  # (N, 3)
+    first_hit_normal: Array  # (N, 3)
+
+
+def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
+                frame: Array | int, cfg: RenderConfig) -> PTOutput:
+    """One sample per ray, up to cfg.max_tracing_depth bounces.
+
+    orig/d: (N, 3); px/py: (N,) integer *global* pixel coords (RNG seeds —
+    global so image tiles shard without changing the picture); frame: scalar.
+    """
+    n = orig.shape[0]
+    hdr_resolution = scene.envmap.width
+
+    seed = rng.pixel_seed(px, py, frame)
+    # the reference draws (and discards) an AA jitter first
+    # (path_tracing.frag:1060) — consume the stream identically
+    _, seed = rng.rand(seed)
+    _, seed = rng.rand(seed)
+
+    cpr_u, cpr_v = rng.cranley_patterson_offsets(px, py)
+
+    light = jnp.zeros((n, 3), jnp.float32)
+    reduction = jnp.ones((n, 3), jnp.float32)
+    alive = jnp.ones((n,), bool)
+
+    emission0 = jnp.zeros((n, 3), jnp.float32)
+    albedo0 = jnp.zeros((n, 3), jnp.float32)
+    t0 = jnp.full((n,), INF, jnp.float32)
+    valid0 = jnp.zeros((n,), bool)
+    point0 = jnp.zeros((n, 3), jnp.float32)
+    normal0 = jnp.zeros((n, 3), jnp.float32)
+
+    for bounce in range(cfg.max_tracing_depth):
+        t, idx = trace(scene.bvh, scene.triangles, orig, d)
+        hit = resolve_hit(scene, orig, d, t, idx, cfg)
+
+        if bounce == 0:
+            emission0 = jnp.where(hit.valid[..., None], hit.mat.emissive, 0.0)
+            albedo0 = jnp.where(hit.valid[..., None], hit.mat.base_color, 0.0)
+            t0 = t
+            valid0 = hit.valid
+            point0 = hit.point
+            normal0 = hit.normal
+
+        # miss -> environment radiance, terminate (path_tracing.frag:1084-1087)
+        miss = alive & ~hit.valid
+        env_rad = env.env_radiance(scene.envmap.image, d)
+        light = light + jnp.where(miss[..., None], env_rad * reduction, 0.0)
+        alive = alive & hit.valid
+
+        # sample the BSDF (Sobol + CPR + stream xi3, frag:1089-1096)
+        sob = rng.sobol_vec2(jnp.asarray(frame, jnp.uint32) + jnp.uint32(1), bounce)
+        xi1, xi2 = rng.cranley_patterson_rotate(sob, cpr_u, cpr_v)
+        xi3, seed = rng.rand(seed)
+
+        v = -d
+        l_new = disney.sample(xi1, xi2, xi3, v, hit.normal, hit.mat)
+        ndotl = jnp.sum(hit.normal * l_new, axis=-1)
+        alive = alive & (ndotl > 0.0)
+
+        # shade (frag:948-968): env NEE + point NEE + BSDF-emissive, weighted
+        f_r = disney.evaluate(v, hit.normal, l_new, hit.mat)
+        brdf_pdf = disney.pdf(v, hit.normal, l_new, hit.mat)
+        env_c, env_pdf_v, seed = _env_nee(scene, hit, v, seed, hdr_resolution)
+        pt_c, pt_pdf_v, seed = _point_nee(scene, hit, v, seed)
+        cos_term = jnp.abs(ndotl)[..., None]
+        brdf_c = hit.mat.emissive * f_r * cos_term / jnp.maximum(brdf_pdf, 1e-12)[..., None]
+
+        wsum = env_pdf_v + pt_pdf_v + brdf_pdf + EPS
+        hit_light = reduction * (
+            (env_pdf_v / wsum)[..., None] * env_c
+            + (pt_pdf_v / wsum)[..., None] * pt_c
+            + (brdf_pdf / wsum)[..., None] * brdf_c)
+        light = light + jnp.where(alive[..., None], hit_light, 0.0)
+
+        reduction = reduction * jnp.where(
+            alive[..., None],
+            f_r * cos_term / jnp.maximum(brdf_pdf, 1e-12)[..., None], 1.0)
+
+        orig = hit.point
+        d = jnp.where(alive[..., None], l_new, d)
+
+    # clamp + NaN scrub (frag:1110-1113)
+    light = jnp.clip(light, 0.0, cfg.clamp_threshold)
+    light = jnp.where(jnp.isnan(light), 0.0, light)
+
+    return PTOutput(color=light, emission=emission0, albedo=albedo0,
+                    first_hit_t=t0, first_hit_valid=valid0,
+                    first_hit_point=point0, first_hit_normal=normal0)

@@ -1,0 +1,155 @@
+"""Frame orchestration: one jitted pure function per frame.
+
+The reference drives 9 GL passes per frame from main() (main.cpp:436-590);
+here the whole frame — path trace, G-buffer, SVGF, TAA, history save,
+tonemap — is a single jitted function of (Scene, Camera, FrameState), so XLA
+fuses across stage boundaries and there is no host round-trip inside a frame.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuray.denoise.svgf import SVGFOutput, svgf_pipeline
+from tpuray.integrator.gbuffer import GBuffer, build_gbuffer
+from tpuray.integrator.path_tracer import PTOutput, trace_paths
+from tpuray.render.frame_state import FrameState
+from tpuray.scene.config import DebugView, RenderConfig
+from tpuray.scene.types import Camera, Scene
+
+Array = jax.Array
+
+
+class FrameOutputs(NamedTuple):
+    pt_color: Array       # (H, W, 3) 1spp (or accumulated) path-traced color
+    accum_color: Array    # (H, W, 3)
+    svgf: SVGFOutput
+    gbuffer: GBuffer
+    final: Array          # (H, W, 3) TAA output (linear)
+
+
+def tonemap(c: Array, limit: float = 1.5, gamma: float = 2.2) -> Array:
+    """Output transform (shaders/output_pass.frag:12-31): Reinhard-style
+    luminance compression then gamma."""
+    lum = 0.3 * c[..., 0] + 0.6 * c[..., 1] + 0.1 * c[..., 2]
+    c = c / (1.0 + lum / limit)[..., None]
+    return jnp.power(jnp.clip(c, 0.0, None), 1.0 / gamma)
+
+
+@partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def render_frame(scene: Scene, camera: Camera, state: FrameState,
+                 cfg: RenderConfig, height: int, width: int
+                 ) -> tuple[FrameState, FrameOutputs]:
+    """Render one frame and advance the temporal state."""
+    frame = state.frame_idx
+
+    # primary rays
+    dirs = camera.ray_directions(height, width)  # (H, W, 3)
+    n = height * width
+    d = dirs.reshape(n, 3)
+    orig = jnp.broadcast_to(camera.eye, (n, 3))
+    yy, xx = jnp.meshgrid(jnp.arange(height), jnp.arange(width), indexing="ij")
+    px = xx.reshape(n)
+    py = (height - 1 - yy).reshape(n)  # GL frag coords are bottom-up
+
+    pt = trace_paths(scene, orig, d, px, py, frame.astype(jnp.uint32), cfg)
+
+    color = pt.color.reshape(height, width, 3)
+    emission = pt.emission.reshape(height, width, 3)
+    albedo = pt.albedo.reshape(height, width, 3)
+
+    # progressive accumulation (path_tracing.frag:1116-1119)
+    if cfg.accumulate:
+        t = 1.0 / (frame.astype(jnp.float32) + 1.0)
+        accum = state.accum_color + (color - state.accum_color) * t
+    else:
+        accum = color
+    pt_color = accum if cfg.accumulate else color
+
+    gbuf = build_gbuffer(
+        point=pt.first_hit_point.reshape(height, width, 3),
+        normal=pt.first_hit_normal.reshape(height, width, 3),
+        valid=pt.first_hit_valid.reshape(height, width),
+        view_proj=camera.view_proj, prev_view_proj=state.prev_view_proj)
+
+    if cfg.enable_svgf:
+        svgf = svgf_pipeline(pt_color, emission, albedo, gbuf, state, cfg)
+        final = svgf.taa if cfg.enable_taa else svgf.modulated
+        new_state = state.replace(
+            illum_hist=svgf.history_tap,
+            variance_hist=svgf.history_tap_var,
+            prev_normal=gbuf.normal,
+            prev_linear_z=gbuf.linear_z,
+            moments=svgf.moments,
+            history_len=svgf.history_len,
+            accum_color=accum,
+            taa_color=svgf.taa,
+            frame_idx=frame + 1,
+            prev_view_proj=camera.view_proj,
+        )
+    else:
+        z1 = jnp.zeros((height, width), jnp.float32)
+        svgf = SVGFOutput(
+            reprojected=pt_color, reprojected_var=z1, variance_illum=pt_color,
+            variance_var=z1, atrous=pt_color, atrous_var=z1,
+            history_tap=pt_color, history_tap_var=z1, modulated=pt_color,
+            taa=pt_color, moments=jnp.zeros((height, width, 2), jnp.float32),
+            history_len=z1)
+        final = pt_color
+        new_state = state.replace(
+            prev_normal=gbuf.normal, prev_linear_z=gbuf.linear_z,
+            accum_color=accum, taa_color=final, frame_idx=frame + 1,
+            prev_view_proj=camera.view_proj)
+
+    outputs = FrameOutputs(pt_color=pt_color, accum_color=accum, svgf=svgf,
+                           gbuffer=gbuf, final=final)
+    return new_state, outputs
+
+
+def select_debug_view(outputs: FrameOutputs, view: DebugView) -> Array:
+    """The output-pass texture switch (main.cpp:556-590)."""
+    table = {
+        DebugView.PATH_TRACING_1SPP: outputs.pt_color,
+        DebugView.SVGF_REPROJECTED: outputs.svgf.reprojected,
+        DebugView.SVGF_VARIANCE: outputs.svgf.variance_illum,
+        DebugView.SVGF_ATROUS: outputs.svgf.atrous,
+        DebugView.SVGF_MODULATE: outputs.svgf.modulated,
+        DebugView.TAA: outputs.svgf.taa,
+        DebugView.FINAL: outputs.final,
+        DebugView.ACCUMULATE_COLOR: outputs.accum_color,
+    }
+    return table[view]
+
+
+class Renderer:
+    """Host-side convenience wrapper: owns Scene/config/state, drives frames."""
+
+    def __init__(self, scene: Scene, cfg: RenderConfig):
+        self.scene = scene
+        self.cfg = cfg
+        self.state = FrameState.initial(cfg.height, cfg.width)
+        self.last_outputs: FrameOutputs | None = None
+
+    def reset(self) -> None:
+        self.state = self.state.reset_accumulation()
+
+    def step(self, camera: Camera) -> FrameOutputs:
+        self.state, out = render_frame(
+            self.scene, camera, self.state, self.cfg,
+            self.cfg.height, self.cfg.width)
+        self.last_outputs = out
+        return out
+
+    def render(self, camera: Camera, n_frames: int = 1) -> FrameOutputs:
+        out = None
+        for _ in range(n_frames):
+            out = self.step(camera)
+        return out
+
+    def display_image(self, view: DebugView = DebugView.FINAL) -> np.ndarray:
+        img = select_debug_view(self.last_outputs, view)
+        return np.asarray(tonemap(img, self.cfg.tonemap_limit, self.cfg.gamma))

@@ -1,0 +1,86 @@
+"""Render configuration.
+
+Parameter names and defaults mirror the reference GUI config
+(/root/reference/Utils/gui_config.h:21-34) so a reference user can map their
+slider settings 1:1. Static fields (depth, iterations, resolution) are Python
+ints — they shape the compiled program; float thresholds are runtime values.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+import pathlib
+
+
+class DebugView(enum.IntEnum):
+    """Intermediate buffers exposed for inspection (gui_config.h:7-17)."""
+
+    PATH_TRACING_1SPP = 0
+    SVGF_REPROJECTED = 1
+    SVGF_VARIANCE = 2
+    SVGF_ATROUS = 3
+    SVGF_MODULATE = 4
+    TAA = 5
+    FINAL = 6
+    ACCUMULATE_COLOR = 7
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    # image
+    width: int = 800
+    height: int = 800
+
+    # path tracing (gui_config.h:27-29)
+    max_tracing_depth: int = 2          # bounces per 1spp frame (slider 1-4)
+    clamp_threshold: float = 10.0       # radiance clamp
+    accumulate: bool = True             # progressive accumulation
+    use_normal_map: bool = False
+
+    # SVGF (gui_config.h:21-26, 31)
+    sigma_n: float = 128.0              # gPhiNormal
+    sigma_l: float = 4.0                # gPhiColor
+    reproj_depth_threshold: float = 10.0
+    reproj_normal_threshold: float = 16.0
+    num_atrous_iterations: int = 5      # step sizes 1<<i (main.cpp:499-504)
+    history_cap: float = 32.0           # svgf_reproject.frag:185
+    alpha_min: float = 0.2              # EMA floor, svgf_reproject.frag:187
+
+    # feedback tap: which a-trous iteration feeds next frame's illum history
+    # (the reference saves after iteration index 1, main.cpp:521-525)
+    history_atrous_tap: int = 1
+
+    # denoiser toggles
+    enable_svgf: bool = True
+    enable_taa: bool = True
+
+    # output
+    tonemap_limit: float = 1.5          # output_pass.frag:13
+    gamma: float = 2.2
+
+    # reference-quirk emulation (SURVEY.md "Hard parts"): when True, replicate
+    # behaviors of the reference that are arguably bugs, for image parity:
+    #  - identity variance "blur" in a-trous (svgf_Atrous.frag:36 reads the
+    #    center texel for all 9 taps)
+    #  - sub-pixel-scaled bilinear weights in reprojection
+    #    (svgf_reproject.frag:84-91)
+    reference_quirks: bool = False
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+    # --- (de)serialization: JSON config files, the reference has GUI only ---
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "RenderConfig":
+        return RenderConfig(**json.loads(text))
+
+    @staticmethod
+    def load(path: str | pathlib.Path) -> "RenderConfig":
+        return RenderConfig.from_json(pathlib.Path(path).read_text())
+
+    def save(self, path: str | pathlib.Path) -> None:
+        pathlib.Path(path).write_text(self.to_json())
