@@ -1,0 +1,61 @@
+"""Benchmark: BVH traversal throughput (rays/s) on the flagship scene.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline (BASELINE.md): >=100M rays/s/chip on the 1spp trace kernel.
+Runs on whatever accelerator JAX sees (the driver provides the real TPU).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuray.integrator.intersect import trace
+    from tpuray.scene.camera import OrbitCamera
+
+    # flagship scene: the reference's clock model if present, else procedural
+    try:
+        from tpuray.scene.builder import reference_default_scene
+        scene = reference_default_scene()
+    except Exception:
+        from tpuray.scene.procedural import make_test_scene
+        scene = make_test_scene(subdiv=3)
+
+    width = height = 800  # reference render resolution (Utils/camera.h:5-6)
+    cam = OrbitCamera(width=width, height=height).snapshot()
+    dirs = np.asarray(cam.ray_directions(height, width)).reshape(-1, 3)
+    orig = np.broadcast_to(np.asarray(cam.eye), dirs.shape)
+    n_rays = dirs.shape[0]
+
+    d = jnp.asarray(dirs)
+    o = jnp.asarray(orig)
+
+    fn = jax.jit(lambda o, d: trace(scene.bvh, scene.triangles, o, d))
+    t, idx = fn(o, d)
+    jax.block_until_ready(t)  # compile + warmup
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        t, idx = fn(o, d)
+    jax.block_until_ready(t)
+    dt = (time.perf_counter() - t0) / iters
+
+    rays_per_s = n_rays / dt
+    baseline = 100e6  # BASELINE.md target rays/s/chip
+    print(json.dumps({
+        "metric": "trace_rays_per_second",
+        "value": rays_per_s,
+        "unit": "rays/s",
+        "vs_baseline": rays_per_s / baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -83,6 +83,7 @@ def render_tiled(scene: Scene, camera: Camera, cfg: RenderConfig,
             tile_fn, mesh=mesh,
             in_specs=(P("tiles"), P("tiles"), P("tiles"), P(), P(), P()),
             out_specs=(P("tiles"), P("tiles"), P("tiles")),
+            check_vma=False,  # while_loop carries start unvarying
         )(dirs, px, py, scene, eye, frame)
 
     color, emission, albedo = run(scene_r, dirs, px, py, camera.eye,

@@ -36,6 +36,13 @@ class ShadeMaterial(NamedTuple):
     clearcoat_gloss: Array
 
 
+def safe_normalize(v: Array, eps: float = 1e-20) -> Array:
+    """Normalize without the 0*inf NaN-gradient trap of norm() at zero:
+    sqrt is evaluated on a clamped sum-of-squares, so its vjp stays finite."""
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    return v * jax.lax.rsqrt(jnp.maximum(n2, eps))
+
+
 def schlick_fresnel(u: Array) -> Array:
     m = jnp.clip(1.0 - u, 0.0, 1.0)
     return (m * m) * (m * m) * m
@@ -81,9 +88,13 @@ def evaluate(v: Array, n: Array, l: Array, mat: ShadeMaterial) -> Array:
     ndotl = jnp.sum(n * l, axis=-1)
     ndotv = jnp.sum(n * v, axis=-1)
     valid = (ndotl >= 0) & (ndotv >= 0)
+    # clamp the internal cosines: invalid lanes are masked at the end, but
+    # an inf/NaN produced on them (smith G at ndotl<=-sqrt(a)) would poison
+    # the backward pass through the final where
+    ndotl = jnp.maximum(ndotl, 1e-6)
+    ndotv = jnp.maximum(ndotv, 1e-6)
 
-    h = l + v
-    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
+    h = safe_normalize(l + v)
     ndoth = jnp.sum(n * h, axis=-1)
     ldoth = jnp.sum(l * h, axis=-1)
 
@@ -133,9 +144,9 @@ def pdf(v: Array, n: Array, l: Array, mat: ShadeMaterial) -> Array:
     ndotl = jnp.sum(n * l, axis=-1)
     ndotv = jnp.sum(n * v, axis=-1)
     valid = (ndotl >= 0) & (ndotv >= 0)
+    ndotl = jnp.maximum(ndotl, 1e-6)  # see evaluate(): keep masked lanes finite
 
-    h = l + v
-    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
+    h = safe_normalize(l + v)
     ndoth = jnp.sum(n * h, axis=-1)
     ldoth = jnp.sum(l * h, axis=-1)
 
@@ -159,10 +170,8 @@ def build_onb(n: Array) -> tuple[Array, Array]:
         (jnp.abs(n[..., 0]) > 0.999)[..., None],
         jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], n.dtype), n.shape),
         jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], n.dtype), n.shape))
-    tangent = jnp.cross(n, helper)
-    tangent = tangent / jnp.maximum(jnp.linalg.norm(tangent, axis=-1, keepdims=True), 1e-20)
-    bitangent = jnp.cross(n, tangent)
-    bitangent = bitangent / jnp.maximum(jnp.linalg.norm(bitangent, axis=-1, keepdims=True), 1e-20)
+    tangent = safe_normalize(jnp.cross(n, helper))
+    bitangent = safe_normalize(jnp.cross(n, tangent))
     return tangent, bitangent
 
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpuray.integrator import disney
-from tpuray.integrator.disney import ShadeMaterial
+from tpuray.integrator.disney import ShadeMaterial, safe_normalize
 from tpuray.integrator.intersect import INF, barycentrics, trace
 from tpuray.sampling import envmap as env
 from tpuray.sampling import rng
@@ -99,14 +99,13 @@ def resolve_hit(scene: Scene, orig: Array, d: Array, t: Array, idx: Array,
     p0, p1, p2 = tri.p0[i], tri.p1[i], tri.p2[i]
     point = orig + d * t[..., None]
 
-    ng = jnp.cross(p1 - p0, p2 - p0)
-    ng = ng / jnp.maximum(jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-30)
+    ng = safe_normalize(jnp.cross(p1 - p0, p2 - p0), eps=1e-30)
     inside = jnp.sum(ng * d, axis=-1) > 0.0
     ng_f = jnp.where(inside[..., None], -ng, ng)
 
     a, b, c = barycentrics(point, p0, p1, p2, cfg.reference_quirks)
     ns = (a[..., None] * tri.n0[i] + b[..., None] * tri.n1[i] + c[..., None] * tri.n2[i])
-    ns = ns / jnp.maximum(jnp.linalg.norm(ns, axis=-1, keepdims=True), 1e-30)
+    ns = safe_normalize(ns, eps=1e-30)
     ns = jnp.where(inside[..., None], -ns, ns)
 
     uv = (a[..., None] * tri.uv0[i] + b[..., None] * tri.uv1[i] + c[..., None] * tri.uv2[i])
@@ -131,14 +130,13 @@ def resolve_hit(scene: Scene, orig: Array, d: Array, t: Array, idx: Array,
             det = duv1[..., 0] * duv2[..., 1] - duv2[..., 0] * duv1[..., 1]
             f = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
             tangent = f[..., None] * (duv2[..., 1:2] * e1 - duv1[..., 1:2] * e2)
-            tangent = tangent / jnp.maximum(
-                jnp.linalg.norm(tangent, axis=-1, keepdims=True), 1e-20)
+            tangent = safe_normalize(tangent)
             bitangent = jnp.cross(tangent, ns)
             tex_n = _tex_fetch(scene, obj, 2, uv) * 2.0 - 1.0
-            tex_n = tex_n / jnp.maximum(jnp.linalg.norm(tex_n, axis=-1, keepdims=True), 1e-20)
+            tex_n = safe_normalize(tex_n)
             mapped = (tex_n[..., 0:1] * tangent + tex_n[..., 1:2] * bitangent
                       + tex_n[..., 2:3] * ns)
-            ns = mapped / jnp.maximum(jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-20)
+            ns = safe_normalize(mapped)
     else:
         # sentinel without textures: clamp so shading stays sane
         mat = mat._replace(
@@ -166,8 +164,11 @@ def _env_nee(scene: Scene, hit: Hit, v: Array, seed: Array,
     f_r = disney.evaluate(v, hit.normal, l, hit.mat)
     p = env.env_pdf(scene.envmap.cache, l, hdr_resolution)
     p = jnp.where(blocked, 0.0, p)
+    # divisor must stay finite on blocked lanes: an inf in the unselected
+    # where-branch turns into 0*inf = NaN in the backward pass
+    p_safe = jnp.where(blocked, 1.0, jnp.maximum(p, 1e-12))
     contrib = (f_r * jnp.abs(jnp.sum(l * hit.normal, axis=-1))[..., None]
-               * radiance / jnp.maximum(p, 1e-12)[..., None])
+               * radiance / p_safe[..., None])
     contrib = jnp.where(blocked[..., None], 0.0, contrib)
     return contrib, p, seed
 
@@ -188,8 +189,8 @@ def _point_nee(scene: Scene, hit: Hit, v: Array, seed: Array
     lrad = scene.lights.radiance[li]
 
     delta = lpos - hit.point
-    dist = jnp.linalg.norm(delta, axis=-1)
-    ldir = delta / jnp.maximum(dist[..., None], 1e-12)
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-24))
+    ldir = delta / dist[..., None]
 
     st, sidx = trace(scene.bvh, scene.triangles, hit.point, ldir,
                      t_max=dist, any_hit=True)

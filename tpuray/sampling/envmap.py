@@ -47,7 +47,8 @@ def bilinear_fetch(img: Array, u: Array, v: Array) -> Array:
 def dir_to_uv(d: Array) -> tuple[Array, Array]:
     """Equirect direction -> (u, v), path_tracing.frag:804-810 semantics:
     u = atan2(z, x)/2pi + 0.5, v = 1 - (asin(y)/pi + 0.5)."""
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    n2 = jnp.sum(d * d, axis=-1, keepdims=True)
+    d = d * jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
     u = jnp.arctan2(d[..., 2], d[..., 0]) / (2.0 * PI) + 0.5
     v = 1.0 - (jnp.arcsin(jnp.clip(d[..., 1], -1.0, 1.0)) / PI + 0.5)
     return u, v
@@ -75,17 +76,27 @@ def sample_env(cache: Array, xi1: Array, xi2: Array) -> Array:
     return jnp.stack([ct * jnp.cos(phi), jnp.sin(theta), ct * jnp.sin(phi)], axis=-1)
 
 
-def env_pdf(cache: Array, d: Array, hdr_resolution: int | Array) -> Array:
-    """hdrPdf (path_tracing.frag:821-832): solid-angle pdf of direction d.
+def env_pdf(cache: Array, d: Array, hdr_resolution: int | Array,
+            reference_quirks: bool = False) -> Array:
+    """Solid-angle pdf of direction d under the texel-mass sampling scheme.
 
-    pdf_texel * (W*W/2) / (2 pi^2 sin(theta)); W*W/2 == W*H for 2:1 maps.
+    A texel at row v spans solid angle (2pi/W)(pi/H)cos(theta_elev), so
+    pdf_omega = pdf_texel * W*H / (2 pi^2 cos(theta_elev)).
+
+    The reference (path_tracing.frag:821-832) divides by sin(theta_elev)
+    instead — an elevation/polar-angle mixup that biases its envmap NEE by
+    tan(theta); replicated only under reference_quirks. (Verified by the MC
+    identity E[1/pdf] = 4pi in tests/test_envmap.py.)
     """
     u, v = dir_to_uv(d)
     pdf = bilinear_fetch(cache, u, v)[..., 2]
-    theta = PI * (0.5 - v)
-    sin_theta = jnp.maximum(jnp.sin(theta), 1e-10)
-    w = jnp.asarray(hdr_resolution, jnp.float32)
-    convert = (w * w * 0.5) / (2.0 * PI * PI * sin_theta)
+    theta = PI * (0.5 - v)  # elevation in [-pi/2, pi/2]
+    jac = jnp.sin(theta) if reference_quirks else jnp.cos(theta)
+    jac = jnp.maximum(jac, 1e-10)
+    # W*H texels (the reference's W*W/2 assumes a 2:1 map); use actual dims
+    del hdr_resolution
+    wh = np.float32(cache.shape[0] * cache.shape[1])
+    convert = wh / (2.0 * PI * PI * jac)
     return pdf * convert
 
 
