@@ -2,12 +2,11 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline (BASELINE.md): >=100M rays/s/chip on the 1spp trace kernel.
-Runs on whatever accelerator JAX sees (the driver provides the real TPU).
+Uses the Pallas packet-traversal kernel on TPU, the XLA wavefront on CPU.
 """
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 
@@ -16,8 +15,10 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from tpuray.integrator.intersect import trace
+    from tpuray.integrator.path_tracer import trace
     from tpuray.scene.camera import OrbitCamera
+
+    on_cpu = jax.default_backend() == "cpu"
 
     # flagship scene: the reference's clock model if present, else procedural
     try:
@@ -27,7 +28,8 @@ def main() -> None:
         from tpuray.scene.procedural import make_test_scene
         scene = make_test_scene(subdiv=3)
 
-    width = height = 800  # reference render resolution (Utils/camera.h:5-6)
+    # reference render resolution (Utils/camera.h:5-6); smaller on CPU
+    width = height = 800 if not on_cpu else 128
     cam = OrbitCamera(width=width, height=height).snapshot()
     dirs = np.asarray(cam.ray_directions(height, width)).reshape(-1, 3)
     orig = np.broadcast_to(np.asarray(cam.eye), dirs.shape)
@@ -36,14 +38,13 @@ def main() -> None:
     d = jnp.asarray(dirs)
     o = jnp.asarray(orig)
 
-    fn = jax.jit(lambda o, d: trace(scene.bvh, scene.triangles, o, d))
-    t, idx = fn(o, d)
+    t, idx = trace(scene.bvh, scene.triangles, o, d)
     jax.block_until_ready(t)  # compile + warmup
 
-    iters = 10
+    iters = 20 if not on_cpu else 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        t, idx = fn(o, d)
+        t, idx = trace(scene.bvh, scene.triangles, o, d)
     jax.block_until_ready(t)
     dt = (time.perf_counter() - t0) / iters
 

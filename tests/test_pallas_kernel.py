@@ -1,0 +1,70 @@
+"""Pallas packet-traversal kernel vs the XLA wavefront oracle
+(interpret mode on CPU)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from tpuray.integrator.intersect import trace as trace_xla
+from tpuray.scene.procedural import make_test_scene
+
+
+@pytest.fixture(scope="module")
+def interp_trace():
+    """trace_pallas with pallas_call forced into interpreter mode."""
+    import importlib
+
+    import tpuray.kernels.trace_pallas as tp
+    orig_call = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig_call(*a, **k)
+
+    pl.pallas_call = interp_call
+    importlib.reload(tp)
+    yield tp
+    pl.pallas_call = orig_call
+    importlib.reload(tp)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_test_scene(subdiv=2, env_width=32)
+
+
+def make_rays(rng, n):
+    o = np.tile(np.asarray([[0.0, 0.3, 2.0]], np.float32), (n, 1))
+    o += (rng.random((n, 3)).astype(np.float32) - 0.5) * 0.4
+    tgt = (rng.random((n, 3)).astype(np.float32) - 0.5) * 1.5
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_matches_xla_nearest(interp_trace, scene, rng):
+    o, d = make_rays(rng, 2048)
+    t_ref, i_ref = trace_xla(scene.bvh, scene.triangles, o, d)
+    t_pk, i_pk = interp_trace.trace_pallas(scene.bvh, scene.triangles, o, d)
+    np.testing.assert_array_equal(np.asarray(i_pk), np.asarray(i_ref))
+    m = np.asarray(i_ref) >= 0
+    np.testing.assert_allclose(np.asarray(t_pk)[m], np.asarray(t_ref)[m], rtol=1e-4)
+    assert m.mean() > 0.3
+
+
+def test_matches_xla_any_hit(interp_trace, scene, rng):
+    o, d = make_rays(rng, 1024)
+    dist = jnp.full((1024,), 1.5)
+    _, ia = interp_trace.trace_pallas(scene.bvh, scene.triangles, o, d,
+                                      t_max=dist, any_hit=True)
+    _, ib = trace_xla(scene.bvh, scene.triangles, o, d, t_max=dist, any_hit=True)
+    np.testing.assert_array_equal(np.asarray(ia) >= 0, np.asarray(ib) >= 0)
+
+
+def test_nonmultiple_ray_count(interp_trace, scene, rng):
+    """Padding path: N not a multiple of the packet size."""
+    o, d = make_rays(rng, 777)
+    t_ref, i_ref = trace_xla(scene.bvh, scene.triangles, o, d)
+    t_pk, i_pk = interp_trace.trace_pallas(scene.bvh, scene.triangles, o, d)
+    np.testing.assert_array_equal(np.asarray(i_pk), np.asarray(i_ref))

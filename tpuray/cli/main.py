@@ -1,0 +1,173 @@
+"""Command-line entry point.
+
+The reference is GUI-only (imgui sliders, main.cpp:363-431); this provides a
+headless CLI: progressive rendering to PNG with debug-view selection, frame
+checkpointing, benchmarking, and differentiable material optimization.
+
+Examples:
+  python -m tpuray.cli.main render --scene reference --frames 8 --out out.png
+  python -m tpuray.cli.main render --scene procedural --view svgf_atrous
+  python -m tpuray.cli.main train --steps 20 --out-prefix fit
+  python -m tpuray.cli.main bench
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build_scene(name: str, quirks: bool):
+    if name == "reference":
+        from tpuray.scene.builder import reference_default_scene
+        return reference_default_scene(reference_quirks=quirks)
+    if name == "table":
+        from tpuray.scene.builder import ObjectSpec, build_scene
+        return build_scene(
+            [ObjectSpec(path="/root/reference/models/table.obj",
+                        material=dict(base_color=(0.7, 0.5, 0.3), roughness=0.4))],
+            reference_quirks=quirks)
+    from tpuray.scene.procedural import make_test_scene
+    return make_test_scene(subdiv=3)
+
+
+_VIEWS = {
+    "1spp": "PATH_TRACING_1SPP", "reprojected": "SVGF_REPROJECTED",
+    "variance": "SVGF_VARIANCE", "atrous": "SVGF_ATROUS",
+    "modulate": "SVGF_MODULATE", "taa": "TAA", "final": "FINAL",
+    "accum": "ACCUMULATE_COLOR",
+}
+
+
+def cmd_render(args) -> int:
+    import numpy as np
+
+    from tpuray.io.image import write_png
+    from tpuray.render.renderer import Renderer
+    from tpuray.scene.camera import OrbitCamera
+    from tpuray.scene.config import DebugView, RenderConfig
+    from tpuray.utils.metrics import FrameMetrics
+
+    cfg = (RenderConfig.load(args.config) if args.config else RenderConfig())
+    cfg = cfg.replace(width=args.size, height=args.size,
+                      max_tracing_depth=args.depth,
+                      reference_quirks=args.reference_quirks)
+    scene = _build_scene(args.scene, args.reference_quirks)
+    cam = OrbitCamera(width=cfg.width, height=cfg.height,
+                      yaw_deg=args.yaw, pitch_deg=args.pitch, radius=args.radius)
+    r = Renderer(scene, cfg)
+    if args.resume:
+        from tpuray.utils.checkpoint import load_frame_state
+        r.state = load_frame_state(args.resume)
+
+    metrics = FrameMetrics(cfg.width, cfg.height, cfg.max_tracing_depth)
+    for i in range(args.frames):
+        t0 = time.perf_counter()
+        out = r.step(cam.snapshot())
+        import jax
+        jax.block_until_ready(out.final)
+        metrics.record(time.perf_counter() - t0)
+    print(metrics.summary(), file=sys.stderr)
+
+    view = DebugView[_VIEWS[args.view]]
+    img = r.display_image(view)
+    write_png(args.out, img)
+    print(f"wrote {args.out} ({cfg.width}x{cfg.height}, {args.frames} frames, "
+          f"view={args.view})", file=sys.stderr)
+    if args.checkpoint:
+        from tpuray.utils.checkpoint import save_frame_state
+        save_frame_state(args.checkpoint, r.state)
+        print(f"saved state -> {args.checkpoint}", file=sys.stderr)
+    if args.dump_all_views:
+        base = args.out.rsplit(".", 1)[0]
+        for name, enum_name in _VIEWS.items():
+            write_png(f"{base}_{name}.png", r.display_image(DebugView[enum_name]))
+    return 0
+
+
+def cmd_train(args) -> int:
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from tpuray.render.renderer import tonemap
+    from tpuray.io.image import write_png
+    from tpuray.scene.camera import OrbitCamera
+    from tpuray.scene.config import RenderConfig
+    from tpuray.train.optimize import (
+        make_train_step, render_flat, split_trainable)
+
+    cfg = RenderConfig(width=args.size, height=args.size,
+                       max_tracing_depth=args.depth)
+    scene = _build_scene(args.scene, False)
+    cam = OrbitCamera(width=args.size, height=args.size).snapshot()
+
+    params, rebuild = split_trainable(scene)
+    target = render_flat(scene, cam, cfg, args.size, args.size, 0)
+    # perturb and recover
+    params = {k: (v.replace(base_color=v.base_color * 0.4 + 0.3)
+                  if k == "materials" else v) for k, v in params.items()}
+    init, step = make_train_step(rebuild, cfg, args.size, args.size,
+                                 optax.adam(args.lr))
+    state = init(params)
+    for i in range(args.steps):
+        state, loss = step(state, target, cam, 0)
+        if i % max(1, args.steps // 10) == 0:
+            print(f"step {i}: loss {float(loss):.6f}", file=sys.stderr)
+    final = render_flat(rebuild(state.params), cam, cfg, args.size, args.size, 0)
+    write_png(f"{args.out_prefix}_target.png", np.asarray(tonemap(target)))
+    write_png(f"{args.out_prefix}_fit.png", np.asarray(tonemap(final)))
+    print(f"final loss {float(loss):.6f}", file=sys.stderr)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import runpy
+    import pathlib
+    runpy.run_path(str(pathlib.Path(__file__).resolve().parents[2] / "bench.py"),
+                   run_name="__main__")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="tpuray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="progressive render to PNG")
+    pr.add_argument("--scene", default="procedural",
+                    choices=["reference", "table", "procedural"])
+    pr.add_argument("--frames", type=int, default=8)
+    pr.add_argument("--size", type=int, default=256)
+    pr.add_argument("--depth", type=int, default=2)
+    pr.add_argument("--view", default="final", choices=sorted(_VIEWS))
+    pr.add_argument("--out", default="render.png")
+    pr.add_argument("--config", default=None, help="RenderConfig JSON file")
+    pr.add_argument("--yaw", type=float, default=0.0)
+    pr.add_argument("--pitch", type=float, default=10.0)
+    pr.add_argument("--radius", type=float, default=2.0)
+    pr.add_argument("--checkpoint", default=None, help="save FrameState npz")
+    pr.add_argument("--resume", default=None, help="load FrameState npz")
+    pr.add_argument("--reference-quirks", action="store_true")
+    pr.add_argument("--dump-all-views", action="store_true")
+    pr.set_defaults(fn=cmd_render)
+
+    pt = sub.add_parser("train", help="differentiable material recovery demo")
+    pt.add_argument("--scene", default="procedural",
+                    choices=["reference", "table", "procedural"])
+    pt.add_argument("--steps", type=int, default=20)
+    pt.add_argument("--size", type=int, default=64)
+    pt.add_argument("--depth", type=int, default=1)
+    pt.add_argument("--lr", type=float, default=0.05)
+    pt.add_argument("--out-prefix", default="train")
+    pt.set_defaults(fn=cmd_train)
+
+    pb = sub.add_parser("bench", help="run the benchmark")
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

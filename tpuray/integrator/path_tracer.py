@@ -23,7 +23,11 @@ import numpy as np
 
 from tpuray.integrator import disney
 from tpuray.integrator.disney import ShadeMaterial, safe_normalize
-from tpuray.integrator.intersect import INF, barycentrics, trace
+from tpuray.integrator.gather_tables import (
+    PackedScene, fetch_material, fetch_tri, pack_scene_tables,
+    tex_fetch_packed)
+from tpuray.integrator.intersect import INF, barycentrics
+from tpuray.integrator.intersect import trace as trace_xla
 from tpuray.sampling import envmap as env
 from tpuray.sampling import rng
 from tpuray.scene.config import RenderConfig
@@ -32,6 +36,32 @@ from tpuray.scene.types import Scene
 Array = jax.Array
 PI = np.float32(np.pi)
 EPS = np.float32(1e-6)
+
+# Traversal backend: the Pallas packet kernel on TPU, the XLA wavefront
+# elsewhere (CPU tests / interpret). Switchable for A/B benchmarking.
+_TRACE_BACKEND = "auto"
+
+
+def set_trace_backend(name: str) -> None:
+    """'auto' | 'pallas' | 'xla'."""
+    global _TRACE_BACKEND
+    assert name in ("auto", "pallas", "xla"), name
+    _TRACE_BACKEND = name
+
+
+def _use_pallas() -> bool:
+    if _TRACE_BACKEND == "pallas":
+        return True
+    if _TRACE_BACKEND == "xla":
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
+def trace(bvh, tri, orig, d, t_max=INF, any_hit=False):
+    if _use_pallas():
+        from tpuray.kernels.trace_pallas import trace_pallas
+        return trace_pallas(bvh, tri, orig, d, t_max=t_max, any_hit=any_hit)
+    return trace_xla(bvh, tri, orig, d, t_max=t_max, any_hit=any_hit)
 
 
 class Hit(NamedTuple):
@@ -83,20 +113,24 @@ def _tex_fetch(scene: Scene, obj_id: Array, layer: int, uv: Array) -> Array:
 
 
 def resolve_hit(scene: Scene, orig: Array, d: Array, t: Array, idx: Array,
-                cfg: RenderConfig) -> Hit:
+                cfg: RenderConfig, pk: PackedScene | None = None) -> Hit:
     """Differentiable hit resolution from (t, triangle index) topology.
 
     Equivalent of hitArray's material/normal resolution
     (path_tracing.frag:298-369): smooth normal from barycentric vertex
     normals, texture-driven material via the negative-value sentinel,
-    optional normal mapping through the per-triangle TBN.
+    optional normal mapping through the per-triangle TBN. All lookups go
+    through single-wide-gather tables (gather_tables) — TPU gathers are
+    row-latency bound, so one 128B gather beats fifteen 4B ones.
     """
+    if pk is None:
+        pk = pack_scene_tables(scene)
     valid = idx >= 0
     i = jnp.maximum(idx, 0)
     t = jax.lax.stop_gradient(jnp.where(valid, t, 1.0))
-    tri = scene.triangles
 
-    p0, p1, p2 = tri.p0[i], tri.p1[i], tri.p2[i]
+    tri = fetch_tri(pk.tri_table, i)  # ONE gather for all attributes
+    p0, p1, p2 = tri.p0, tri.p1, tri.p2
     point = orig + d * t[..., None]
 
     ng = safe_normalize(jnp.cross(p1 - p0, p2 - p0), eps=1e-30)
@@ -104,18 +138,21 @@ def resolve_hit(scene: Scene, orig: Array, d: Array, t: Array, idx: Array,
     ng_f = jnp.where(inside[..., None], -ng, ng)
 
     a, b, c = barycentrics(point, p0, p1, p2, cfg.reference_quirks)
-    ns = (a[..., None] * tri.n0[i] + b[..., None] * tri.n1[i] + c[..., None] * tri.n2[i])
+    ns = (a[..., None] * tri.n0 + b[..., None] * tri.n1 + c[..., None] * tri.n2)
     ns = safe_normalize(ns, eps=1e-30)
     ns = jnp.where(inside[..., None], -ns, ns)
 
-    uv = (a[..., None] * tri.uv0[i] + b[..., None] * tri.uv1[i] + c[..., None] * tri.uv2[i])
+    uv = (a[..., None] * tri.uv0 + b[..., None] * tri.uv1 + c[..., None] * tri.uv2)
 
-    mat = _gather_material(scene, tri.mat_id[i])
-    if scene.textures is not None:
-        obj = tri.obj_id[i]
-        tex_albedo = _tex_fetch(scene, obj, 0, uv)
-        tex_metallic = _tex_fetch(scene, obj, 1, uv)[..., 0]
-        tex_rough = _tex_fetch(scene, obj, 3, uv)[..., 0]
+    mat = fetch_material(pk.mat_table, tri.mat_id)  # one gather
+    if pk.tex_q is not None:
+        obj = jnp.clip(tri.obj_id, 0, pk.tex_q.shape[0] - 1)
+        tu = jnp.clip(uv[..., 0], 0.0, 1.0)
+        tv = jnp.clip(1.0 - uv[..., 1], 0.0, 1.0)  # GL images are y-up
+        texel = tex_fetch_packed(pk.tex_q, obj, tu, tv)  # one gather
+        tex_albedo = texel[..., 0:3]
+        tex_metallic = texel[..., 3]
+        tex_rough = texel[..., 4]
         base_neg = jnp.any(mat.base_color < 0.0, axis=-1, keepdims=True)
         mat = mat._replace(
             base_color=jnp.where(base_neg, tex_albedo, mat.base_color),
@@ -125,14 +162,14 @@ def resolve_hit(scene: Scene, orig: Array, d: Array, t: Array, idx: Array,
         if cfg.use_normal_map:
             e1 = p1 - p0
             e2 = p2 - p0
-            duv1 = tri.uv1[i] - tri.uv0[i]
-            duv2 = tri.uv2[i] - tri.uv0[i]
+            duv1 = tri.uv1 - tri.uv0
+            duv2 = tri.uv2 - tri.uv0
             det = duv1[..., 0] * duv2[..., 1] - duv2[..., 0] * duv1[..., 1]
             f = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
             tangent = f[..., None] * (duv2[..., 1:2] * e1 - duv1[..., 1:2] * e2)
             tangent = safe_normalize(tangent)
             bitangent = jnp.cross(tangent, ns)
-            tex_n = _tex_fetch(scene, obj, 2, uv) * 2.0 - 1.0
+            tex_n = _tex_fetch(scene, tri.obj_id, 2, uv) * 2.0 - 1.0
             tex_n = safe_normalize(tex_n)
             mapped = (tex_n[..., 0:1] * tangent + tex_n[..., 1:2] * bitangent
                       + tex_n[..., 2:3] * ns)
@@ -149,20 +186,18 @@ def resolve_hit(scene: Scene, orig: Array, d: Array, t: Array, idx: Array,
                inside=inside, uv=uv, mat=mat, tri_idx=idx, t=t)
 
 
-def _env_nee(scene: Scene, hit: Hit, v: Array, seed: Array,
-             hdr_resolution) -> tuple[Array, Array, Array]:
+def _env_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array,
+             r1: Array, r2: Array) -> tuple[Array, Array]:
     """Envmap light sample with shadow ray (hdriLight,
-    path_tracing.frag:922-946). Returns (contribution, pdf, next_seed)."""
-    r1, seed = rng.rand(seed)
-    r2, seed = rng.rand(seed)
-    l = env.sample_env(scene.envmap.cache, r1, r2)
+    path_tracing.frag:922-946). Returns (contribution, pdf)."""
+    l = env.sample_env_packed(pk.env_cache_q, r1, r2)
 
     _, sidx = trace(scene.bvh, scene.triangles, hit.point, l, any_hit=True)
     blocked = sidx >= 0
 
-    radiance = env.env_radiance(scene.envmap.image, l)
+    radiance = env.env_radiance_packed(pk.env_image_q, l)
     f_r = disney.evaluate(v, hit.normal, l, hit.mat)
-    p = env.env_pdf(scene.envmap.cache, l, hdr_resolution)
+    p = env.env_pdf_packed(pk.env_cache_q, l)
     p = jnp.where(blocked, 0.0, p)
     # divisor must stay finite on blocked lanes: an inf in the unselected
     # where-branch turns into 0*inf = NaN in the backward pass
@@ -170,23 +205,23 @@ def _env_nee(scene: Scene, hit: Hit, v: Array, seed: Array,
     contrib = (f_r * jnp.abs(jnp.sum(l * hit.normal, axis=-1))[..., None]
                * radiance / p_safe[..., None])
     contrib = jnp.where(blocked[..., None], 0.0, contrib)
-    return contrib, p, seed
+    return contrib, p
 
 
-def _point_nee(scene: Scene, hit: Hit, v: Array, seed: Array
-               ) -> tuple[Array, Array, Array]:
+def _point_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array, u: Array
+               ) -> tuple[Array, Array]:
     """Point-light sample with shadow ray (calculatePointLight,
     path_tracing.frag:884-919): uniform light pick, pdf = 2*pi/n_lights,
     quadratic falloff."""
     n_lights = scene.lights.count
     if n_lights == 0:
         z = jnp.zeros(hit.point.shape, jnp.float32)
-        return z, jnp.zeros(hit.point.shape[:-1], jnp.float32), seed
+        return z, jnp.zeros(hit.point.shape[:-1], jnp.float32)
 
-    u, seed = rng.rand(seed)
     li = jnp.minimum((u * n_lights).astype(jnp.int32), n_lights - 1)
-    lpos = scene.lights.position[li]
-    lrad = scene.lights.radiance[li]
+    lrow = pk.light_table[li]  # one gather
+    lpos = lrow[..., 0:3]
+    lrad = lrow[..., 3:6]
 
     delta = lpos - hit.point
     dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-24))
@@ -202,7 +237,7 @@ def _point_nee(scene: Scene, hit: Hit, v: Array, seed: Array
     contrib = (falloff * f_r
                * jnp.abs(jnp.sum(ldir * hit.normal, axis=-1))[..., None] / pdf[..., None])
     contrib = jnp.where(shadowed[..., None], 0.0, contrib)
-    return contrib, pdf, seed
+    return contrib, pdf
 
 
 class PTOutput(NamedTuple):
@@ -223,7 +258,7 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
     global so image tiles shard without changing the picture); frame: scalar.
     """
     n = orig.shape[0]
-    hdr_resolution = scene.envmap.width
+    pk = pack_scene_tables(scene)  # wide-gather tables (cheap reshuffles)
 
     seed = rng.pixel_seed(px, py, frame)
     # the reference draws (and discards) an AA jitter first
@@ -231,7 +266,23 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
     _, seed = rng.rand(seed)
     _, seed = rng.rand(seed)
 
-    cpr_u, cpr_v = rng.cranley_patterson_offsets(px, py)
+    coherent = cfg.tile_coherent_sampling and n % 1024 == 0
+    if coherent:
+        # per-tile secondary-ray randoms (see RenderConfig): one stream per
+        # 1024-ray packet, values broadcast across the tile
+        n_tiles = n // 1024
+        tid = jnp.arange(n_tiles, dtype=jnp.uint32)
+        tseed = rng.pixel_seed(tid, tid * jnp.uint32(7919), frame)
+
+        def tile_rand(ts):
+            u, ts = rng.rand(ts)
+            return jnp.repeat(u, 1024), ts
+
+        cpr_u, cpr_v = rng.cranley_patterson_offsets(tid, tid * jnp.uint32(31))
+        cpr_u = jnp.repeat(cpr_u, 1024)
+        cpr_v = jnp.repeat(cpr_v, 1024)
+    else:
+        cpr_u, cpr_v = rng.cranley_patterson_offsets(px, py)
 
     light = jnp.zeros((n, 3), jnp.float32)
     reduction = jnp.ones((n, 3), jnp.float32)
@@ -246,7 +297,7 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
 
     for bounce in range(cfg.max_tracing_depth):
         t, idx = trace(scene.bvh, scene.triangles, orig, d)
-        hit = resolve_hit(scene, orig, d, t, idx, cfg)
+        hit = resolve_hit(scene, orig, d, t, idx, cfg, pk)
 
         if bounce == 0:
             emission0 = jnp.where(hit.valid[..., None], hit.mat.emissive, 0.0)
@@ -258,14 +309,17 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
 
         # miss -> environment radiance, terminate (path_tracing.frag:1084-1087)
         miss = alive & ~hit.valid
-        env_rad = env.env_radiance(scene.envmap.image, d)
+        env_rad = env.env_radiance_packed(pk.env_image_q, d)
         light = light + jnp.where(miss[..., None], env_rad * reduction, 0.0)
         alive = alive & hit.valid
 
         # sample the BSDF (Sobol + CPR + stream xi3, frag:1089-1096)
         sob = rng.sobol_vec2(jnp.asarray(frame, jnp.uint32) + jnp.uint32(1), bounce)
         xi1, xi2 = rng.cranley_patterson_rotate(sob, cpr_u, cpr_v)
-        xi3, seed = rng.rand(seed)
+        if coherent:
+            xi3, tseed = tile_rand(tseed)
+        else:
+            xi3, seed = rng.rand(seed)
 
         v = -d
         l_new = disney.sample(xi1, xi2, xi3, v, hit.normal, hit.mat)
@@ -275,8 +329,16 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
         # shade (frag:948-968): env NEE + point NEE + BSDF-emissive, weighted
         f_r = disney.evaluate(v, hit.normal, l_new, hit.mat)
         brdf_pdf = disney.pdf(v, hit.normal, l_new, hit.mat)
-        env_c, env_pdf_v, seed = _env_nee(scene, hit, v, seed, hdr_resolution)
-        pt_c, pt_pdf_v, seed = _point_nee(scene, hit, v, seed)
+        if coherent:
+            er1, tseed = tile_rand(tseed)
+            er2, tseed = tile_rand(tseed)
+            lu, tseed = tile_rand(tseed)
+        else:
+            er1, seed = rng.rand(seed)
+            er2, seed = rng.rand(seed)
+            lu, seed = rng.rand(seed)
+        env_c, env_pdf_v = _env_nee(scene, pk, hit, v, er1, er2)
+        pt_c, pt_pdf_v = _point_nee(scene, pk, hit, v, lu)
         cos_term = jnp.abs(ndotl)[..., None]
         brdf_c = hit.mat.emissive * f_r * cos_term / jnp.maximum(brdf_pdf, 1e-12)[..., None]
 

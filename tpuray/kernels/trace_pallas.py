@@ -1,0 +1,264 @@
+"""Pallas TPU packet-traversal megakernel.
+
+TPU-native replacement for the reference's per-fragment stack traversal
+(path_tracing.frag:372-424). Design notes:
+
+- Rays are processed in *packets* of PACKET_ROWS x 128 (one 32x32 image tile
+  per grid step). The packet shares ONE scalar traversal pointer into the
+  threaded (skip-link) BVH: the packet descends into a subtree iff ANY ray
+  hits the node's AABB. Lock-step over the packet trades redundant node
+  visits for perfectly uniform VPU work with no per-lane gathers — the
+  classic packet-traversal idea mapped onto the TPU's scalar+vector split.
+- Node AABBs and leaf metadata live in SMEM (scalar-prefetch operands), so
+  the scalar core chases pointers while the VPU does the 1024-wide
+  slab/triangle tests with scalar operands broadcast for free.
+- Triangle vertices also ride SMEM (9 scalars per triangle); the whole
+  flagship scene is < 0.5 MB of scalars. Larger scenes would tier triangles
+  to VMEM rows; not needed yet.
+- Traversal is topology-only (t, triangle index out); shading re-derives
+  everything differentiably (tpuray.integrator.path_tracer.resolve_hit), so
+  the kernel needs no VJP.
+"""
+from __future__ import annotations
+
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuray.scene.types import BVHSoA, TriangleSoA
+
+Array = jax.Array
+
+INF = np.float32(1e30)
+T_MIN = np.float32(5e-4)
+PARALLEL_EPS = np.float32(1e-5)
+
+PACKET_ROWS = 8          # sublanes per packet
+PACKET_LANES = 128       # lanes
+PACKET = PACKET_ROWS * PACKET_LANES  # rays per packet (= one 32x32 tile)
+
+
+def _kernel(meta_ref, aabb_ref, tverts_ref,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+            t_out, idx_out, t_scr, idx_scr, *, n_nodes: int, any_hit: bool):
+    ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
+    dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
+    tmax = tmax_ref[...]
+
+    def safe_inv(v):
+        tiny = jnp.where(v < 0, np.float32(-1e-20), np.float32(1e-20))
+        return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
+
+    inv_dx, inv_dy, inv_dz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+    def tri_test(ti, _, entered_mask):
+        """Test triangle ti (scalar) against the whole packet."""
+        t = t_scr[...]
+        idx = idx_scr[...]
+        p0x = tverts_ref[0, ti]
+        p0y = tverts_ref[1, ti]
+        p0z = tverts_ref[2, ti]
+        e1x = tverts_ref[3, ti] - p0x
+        e1y = tverts_ref[4, ti] - p0y
+        e1z = tverts_ref[5, ti] - p0z
+        e2x = tverts_ref[6, ti] - p0x
+        e2y = tverts_ref[7, ti] - p0y
+        e2z = tverts_ref[8, ti] - p0z
+        # geometric normal (scalar cross product)
+        nx = e1y * e2z - e1z * e2y
+        ny = e1z * e2x - e1x * e2z
+        nz = e1x * e2y - e1y * e2x
+        inv_len = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
+        nx, ny, nz = nx * inv_len, ny * inv_len, nz * inv_len
+
+        ndotd = nx * dx + ny * dy + nz * dz          # (R, L)
+        # two-sided: flip the normal toward the ray
+        sgn = jnp.where(ndotd > 0, np.float32(-1.0), np.float32(1.0))
+        fnx, fny, fnz = nx * sgn, ny * sgn, nz * sgn
+        ndotd_f = jnp.abs(ndotd)
+
+        # t = n_f.(p0 - o) / (n_f.d), and n_f.d == -|n.d| since n_f faces the ray
+        denom = jnp.where(ndotd_f < PARALLEL_EPS, np.float32(-1.0), -ndotd_f)
+        num = (fnx * (p0x - ox) + fny * (p0y - oy) + fnz * (p0z - oz))
+        t_hit = num / denom
+        px = ox + dx * t_hit
+        py = oy + dy * t_hit
+        pz = oz + dz * t_hit
+
+        # inside tests via cross products against the facing normal
+        def edge(ax, ay, az, bx, by, bz):
+            # (b - a) x (p - a) . n_f
+            ex, ey, ez = bx - ax, by - ay, bz - az
+            qx, qy, qz = px - ax, py - ay, pz - az
+            cx = ey * qz - ez * qy
+            cy = ez * qx - ex * qz
+            cz = ex * qy - ey * qx
+            return cx * fnx + cy * fny + cz * fnz
+
+        p1x, p1y, p1z = p0x + e1x, p0y + e1y, p0z + e1z
+        p2x, p2y, p2z = p0x + e2x, p0y + e2y, p0z + e2z
+        c0 = edge(p0x, p0y, p0z, p1x, p1y, p1z)
+        c1 = edge(p1x, p1y, p1z, p2x, p2y, p2z)
+        c2 = edge(p2x, p2y, p2z, p0x, p0y, p0z)
+        in_tri = ((c0 > 0) & (c1 > 0) & (c2 > 0)) | ((c0 < 0) & (c1 < 0) & (c2 < 0))
+
+        hit = ((ndotd_f >= PARALLEL_EPS) & (t_hit >= T_MIN) & in_tri
+               & entered_mask & (t_hit < t) & (t_hit < tmax))
+        t_scr[...] = jnp.where(hit, t_hit, t)
+        idx_scr[...] = jnp.where(hit, ti, idx)
+        return 0
+
+    def body(node):
+        t = t_scr[...]
+        idx = idx_scr[...]
+        done = node >= n_nodes
+        nd = jnp.minimum(node, n_nodes - 1)
+        amin_x = aabb_ref[0, nd]
+        amin_y = aabb_ref[1, nd]
+        amin_z = aabb_ref[2, nd]
+        amax_x = aabb_ref[3, nd]
+        amax_y = aabb_ref[4, nd]
+        amax_z = aabb_ref[5, nd]
+        skip = meta_ref[0, nd]
+        first = meta_ref[1, nd]
+        count = meta_ref[2, nd]
+
+        f0 = (amax_x - ox) * inv_dx
+        n0 = (amin_x - ox) * inv_dx
+        f1 = (amax_y - oy) * inv_dy
+        n1 = (amin_y - oy) * inv_dy
+        f2 = (amax_z - oz) * inv_dz
+        n2 = (amin_z - oz) * inv_dz
+        t1 = jnp.minimum(jnp.maximum(f0, n0),
+                         jnp.minimum(jnp.maximum(f1, n1), jnp.maximum(f2, n2)))
+        t0 = jnp.maximum(jnp.minimum(f0, n0),
+                         jnp.maximum(jnp.minimum(f1, n1), jnp.minimum(f2, n2)))
+        limit = jnp.minimum(t, tmax)
+        if any_hit:
+            active = idx < 0
+        else:
+            active = jnp.ones_like(t, dtype=bool)
+        hit = ((t1 >= jnp.maximum(t0, 0.0)) & (t0 < limit) & (t1 > 0.0)
+               & active & jnp.logical_not(done))
+
+        entered = jnp.any(hit)
+        # leaf scan: trip count 0 for inner nodes or unentered subtrees
+        n_tris = jnp.where(entered, count, 0)
+
+        def leaf_body(j, c):
+            return tri_test(first + j, c, hit)
+
+        jax.lax.fori_loop(0, n_tris, leaf_body, 0)
+
+        next_node = jnp.where(entered & (count == 0), nd + 1, skip)
+        if any_hit:
+            # all rays found their hit -> stop the walk
+            next_node = jnp.where(jnp.all(idx_scr[...] >= 0), n_nodes, next_node)
+        next_node = jnp.where(done, node, next_node)
+        return next_node
+
+    t_scr[...] = jnp.full((PACKET_ROWS, PACKET_LANES), INF, jnp.float32)
+    idx_scr[...] = jnp.full((PACKET_ROWS, PACKET_LANES), -1, jnp.int32)
+    # early-exit walk with a *scalar-only* while carry (Mosaic mishandles
+    # large vector carries in while_loop); vector state lives in VMEM scratch.
+    # The preorder pointer strictly increases, so the loop is bounded.
+    jax.lax.while_loop(lambda node: node < n_nodes, body, jnp.int32(0))
+    t_out[...] = t_scr[...]
+    idx_out[...] = idx_scr[...]
+
+
+@partial(jax.jit, static_argnames=("any_hit",))
+def trace_packets(meta: Array, aabb: Array, tverts: Array,
+                  orig: Array, d: Array, t_max: Array,
+                  any_hit: bool = False) -> tuple[Array, Array]:
+    """Packet traversal over N rays (padded to a multiple of PACKET).
+
+    meta: (3, n_nodes) int32 [skip; first_tri; tri_count]
+    aabb: (6, n_nodes) f32  [amin; amax]
+    tverts: (9, T) f32      [p0; p1; p2]
+    (transposed row-major: SMEM pads each *row* to 512 B, so the scalar
+    tables must keep few rows / long rows to fit the 1 MiB SMEM budget)
+    orig, d: (N, 3) f32; t_max: (N,) f32.
+    Returns (t (N,), idx (N,)), idx = -1 for miss.
+    """
+    n = orig.shape[0]
+    n_nodes = meta.shape[1]
+    smem_bytes = (meta.size + aabb.size + tverts.size) * 4 + 18 * 512
+    assert smem_bytes < 900_000, (
+        f"scene scalar tables ({smem_bytes}B) exceed the SMEM budget; "
+        "tier triangles to VMEM for scenes this large")
+    n_pad = (n + PACKET - 1) // PACKET * PACKET
+    pad = n_pad - n
+
+    def prep(x, fill):
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1),
+                    constant_values=fill)
+        return x
+
+    orig = prep(orig, 0.0)
+    dd = prep(d, 1.0)
+    tm = prep(t_max, -1.0)  # padded rays: t_max < 0 -> never hit
+
+    n_packets = n_pad // PACKET
+    shape2 = (n_packets * PACKET_ROWS, PACKET_LANES)
+    comps = [orig[:, 0], orig[:, 1], orig[:, 2], dd[:, 0], dd[:, 1], dd[:, 2], tm]
+    comps = [c.reshape(shape2) for c in comps]
+
+    # index maps receive (grid idx, *scalar_prefetch_refs)
+    ray_spec = pl.BlockSpec((PACKET_ROWS, PACKET_LANES),
+                            lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # meta, aabb, tverts -> SMEM
+        grid=(n_packets,),
+        in_specs=[ray_spec] * 7,
+        out_specs=[
+            pl.BlockSpec((PACKET_ROWS, PACKET_LANES), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PACKET_ROWS, PACKET_LANES), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((PACKET_ROWS, PACKET_LANES), jnp.float32),
+            pltpu.VMEM((PACKET_ROWS, PACKET_LANES), jnp.int32),
+        ],
+    )
+
+    kernel = functools.partial(_kernel, n_nodes=n_nodes, any_hit=any_hit)
+    t, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            jax.ShapeDtypeStruct(shape2, jnp.int32),
+        ],
+    )(meta, aabb, tverts, *comps)
+
+    return t.reshape(n_pad)[:n], idx.reshape(n_pad)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Scene-level wrapper with host-side packing cache
+# ---------------------------------------------------------------------------
+
+def pack_scene(bvh: BVHSoA, tri: TriangleSoA) -> tuple[Array, Array, Array]:
+    """Pack SoA scene into the kernel's SMEM operand layout."""
+    meta = jnp.stack([bvh.skip, bvh.first_tri, bvh.tri_count], axis=0)
+    aabb = jnp.concatenate([bvh.aabb_min.T, bvh.aabb_max.T], axis=0)
+    tverts = jnp.concatenate([tri.p0.T, tri.p1.T, tri.p2.T], axis=0)
+    return meta.astype(jnp.int32), aabb.astype(jnp.float32), tverts.astype(jnp.float32)
+
+
+def trace_pallas(bvh: BVHSoA, tri: TriangleSoA, orig: Array, d: Array,
+                 t_max: Array | float = INF, any_hit: bool = False
+                 ) -> tuple[Array, Array]:
+    """Drop-in replacement for tpuray.integrator.intersect.trace."""
+    meta, aabb, tverts = pack_scene(bvh, tri)
+    n = orig.shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    return trace_packets(meta, aabb, tverts, orig, d, t_max, any_hit)

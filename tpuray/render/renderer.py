@@ -47,20 +47,25 @@ def render_frame(scene: Scene, camera: Camera, state: FrameState,
     """Render one frame and advance the temporal state."""
     frame = state.frame_idx
 
-    # primary rays
-    dirs = camera.ray_directions(height, width)  # (H, W, 3)
-    n = height * width
-    d = dirs.reshape(n, 3)
+    # primary rays in 32x32-tile-major order: each Pallas traversal packet
+    # becomes a square screen tile (tpuray.render.tiling)
+    from tpuray.render.tiling import tile_pixel_coords, untile
+    xx, yy = tile_pixel_coords(height, width)  # (N,) padded
+    n = xx.shape[0]
+    xs = (2.0 * (xx.astype(jnp.float32) + 0.5) / width - 1.0) * camera.tan_half_fov
+    ys = -(2.0 * (yy.astype(jnp.float32) + 0.5) / height - 1.0) * camera.tan_half_fov
+    d_cam = jnp.stack([xs, ys, -jnp.ones_like(xs)], axis=-1)
+    d = jnp.einsum("ij,nj->ni", camera.cam_to_world, d_cam)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     orig = jnp.broadcast_to(camera.eye, (n, 3))
-    yy, xx = jnp.meshgrid(jnp.arange(height), jnp.arange(width), indexing="ij")
-    px = xx.reshape(n)
-    py = (height - 1 - yy).reshape(n)  # GL frag coords are bottom-up
+    px = xx
+    py = height - 1 - yy  # GL frag coords are bottom-up
 
     pt = trace_paths(scene, orig, d, px, py, frame.astype(jnp.uint32), cfg)
 
-    color = pt.color.reshape(height, width, 3)
-    emission = pt.emission.reshape(height, width, 3)
-    albedo = pt.albedo.reshape(height, width, 3)
+    color = untile(pt.color, height, width)
+    emission = untile(pt.emission, height, width)
+    albedo = untile(pt.albedo, height, width)
 
     # progressive accumulation (path_tracing.frag:1116-1119)
     if cfg.accumulate:
@@ -71,9 +76,9 @@ def render_frame(scene: Scene, camera: Camera, state: FrameState,
     pt_color = accum if cfg.accumulate else color
 
     gbuf = build_gbuffer(
-        point=pt.first_hit_point.reshape(height, width, 3),
-        normal=pt.first_hit_normal.reshape(height, width, 3),
-        valid=pt.first_hit_valid.reshape(height, width),
+        point=untile(pt.first_hit_point, height, width),
+        normal=untile(pt.first_hit_normal, height, width),
+        valid=untile(pt.first_hit_valid, height, width),
         view_proj=camera.view_proj, prev_view_proj=state.prev_view_proj)
 
     if cfg.enable_svgf:

@@ -124,3 +124,38 @@ def build_env_cache_jnp(image: Array) -> Array:
         pdf,
     ], axis=-1)
     return cache
+
+
+# --------------------------------------------------------------------------
+# Quad-packed variants: one gather per bilinear fetch (see
+# tpuray.integrator.gather_tables). Numerically identical to the above.
+# --------------------------------------------------------------------------
+
+def env_radiance_packed(qimg: Array, d: Array) -> Array:
+    from tpuray.integrator.gather_tables import bilinear_fetch_packed
+    u, v = dir_to_uv(d)
+    return bilinear_fetch_packed(qimg, u, v, c=3)
+
+
+def sample_env_packed(qcache: Array, xi1: Array, xi2: Array) -> Array:
+    from tpuray.integrator.gather_tables import bilinear_fetch_packed
+    xy = bilinear_fetch_packed(qcache, xi1, xi2, c=3)[..., :2]
+    x = xy[..., 0]
+    y = 1.0 - xy[..., 1]
+    phi = 2.0 * PI * (x - 0.5)
+    theta = PI * (y - 0.5)
+    ct = jnp.cos(theta)
+    return jnp.stack([ct * jnp.cos(phi), jnp.sin(theta), ct * jnp.sin(phi)], axis=-1)
+
+
+def env_pdf_packed(qcache: Array, d: Array,
+                   reference_quirks: bool = False) -> Array:
+    from tpuray.integrator.gather_tables import bilinear_fetch_packed
+    u, v = dir_to_uv(d)
+    pdf = bilinear_fetch_packed(qcache, u, v, c=3)[..., 2]
+    theta = PI * (0.5 - v)
+    jac = jnp.sin(theta) if reference_quirks else jnp.cos(theta)
+    jac = jnp.maximum(jac, 1e-10)
+    wh = np.float32(qcache.shape[0] * qcache.shape[1])
+    convert = wh / (2.0 * PI * PI * jac)
+    return pdf * convert

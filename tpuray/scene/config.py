@@ -55,6 +55,14 @@ class RenderConfig:
     enable_svgf: bool = True
     enable_taa: bool = True
 
+    # TPU throughput mode: draw the secondary-ray randoms (envmap sample,
+    # light pick, BSDF-lobe/CPR rotation) once per 32x32 ray tile instead of
+    # per pixel. Keeps each packet's shadow/bounce rays direction-coherent,
+    # which is what the packet traversal kernel needs; per-pixel noise
+    # becomes per-tile noise (still unbiased per pixel, refreshed per frame
+    # by the Sobol sequence). Off = reference per-pixel semantics.
+    tile_coherent_sampling: bool = False
+
     # output
     tonemap_limit: float = 1.5          # output_pass.frag:13
     gamma: float = 2.2
