@@ -8,6 +8,4 @@ for i in $(seq 1 120); do
     [ "$busy" -eq 0 ] && break
     sleep 5
 done
-export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
-export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 exec timeout "${3:-560}" python -u "$1" > "$LOG" 2>&1

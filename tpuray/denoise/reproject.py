@@ -5,6 +5,10 @@ back-project via motion vectors, validate the 4 bilinear taps against
 depth/normal consistency, 3x3 cross-bilateral rescue when all fail, then EMA
 of illumination and luminance moments with history-length control.
 
+All previous-frame reads go through the packed history atlas
+(denoise/history_atlas.py): the 4 bilinear taps of every buffer are ONE
+TPU gather; the rescue is 9 atlas gathers (27+ narrow gathers before).
+
 Default bilinear weights are the standard pixel-space fractional weights; the
 reference's sub-pixel-scaled weights (svgf_reproject.frag:84-91 computes the
 fraction in *uv* units, making taps 1-3 nearly weightless) are available via
@@ -17,7 +21,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from tpuray.denoise.common import gather2d, luminance
+from tpuray.denoise.common import luminance
+from tpuray.denoise.history_atlas import build_atlas, fetch, fetch_quad
 from tpuray.scene.config import RenderConfig
 
 Array = jax.Array
@@ -30,12 +35,14 @@ class ReprojectOutput(NamedTuple):
     history_len: Array  # (H, W)
 
 
-def _valid_tap(yi, xi, in_bounds, z_cur, z_prev, fw_z, n_cur, n_prev, fw_n, cfg):
-    """isReprjValid (svgf_reproject.frag:31-43)."""
-    depth_ok = (jnp.abs(z_prev - z_cur) / (fw_z + 1e-2)) <= cfg.reproj_depth_threshold
-    ndist = jnp.linalg.norm(n_cur - n_prev, axis=-1)
+def _tap_valid(yi, xi, h, w, z_cur, fw_z, n_cur, fw_n, tap, cfg):
+    """isReprjValid (svgf_reproject.frag:31-43) against an atlas tap."""
+    in_b = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    depth_ok = (jnp.abs(tap["linear_z"] - z_cur) / (fw_z + 1e-2)) \
+        <= cfg.reproj_depth_threshold
+    ndist = jnp.linalg.norm(n_cur - tap["normal"], axis=-1)
     normal_ok = (ndist / (fw_n + 1e-2)) <= cfg.reproj_normal_threshold
-    return in_bounds & depth_ok & normal_ok
+    return in_b & depth_ok & normal_ok
 
 
 def reproject(color: Array, emission: Array, albedo: Array,
@@ -49,6 +56,9 @@ def reproject(color: Array, emission: Array, albedo: Array,
     yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
 
     sky = linear_z == 1.0
+
+    atlas, qatlas = build_atlas(prev_illum, prev_variance, prev_normal,
+                                prev_linear_z, prev_moments, prev_history_len)
 
     # demodulate (svgf_reproject.frag:26-29, 174)
     illum = (color - emission) / jnp.maximum(albedo, 1e-3)
@@ -73,10 +83,8 @@ def reproject(color: Array, emission: Array, albedo: Array,
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    prev_illum_v = jnp.concatenate([prev_illum, prev_variance[..., None]], axis=-1)
-    prev_m = prev_moments
-
-    taps = [(0, 0), (1, 0), (0, 1), (1, 1)]
+    taps = fetch_quad(qatlas, y0i, x0i)  # one gather: 4 bilinear taps
+    offsets = [(0, 0), (1, 0), (0, 1), (1, 1)]
     weights = [
         (1 - frac_x) * (1 - frac_y), frac_x * (1 - frac_y),
         (1 - frac_x) * frac_y, frac_x * frac_y,
@@ -86,19 +94,15 @@ def reproject(color: Array, emission: Array, albedo: Array,
     acc_illum = jnp.zeros((h, w, 4), jnp.float32)
     acc_mom = jnp.zeros((h, w, 2), jnp.float32)
     any_valid = jnp.zeros((h, w), bool)
-    for (dx, dy), wt in zip(taps, weights):
-        xi = x0i + dx
-        yi = y0i + dy
-        in_b = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-        zp = gather2d(prev_linear_z, yi, xi)
-        np_ = gather2d(prev_normal, yi, xi)
-        v = _valid_tap(yi, xi, in_b, linear_z, zp, fwidth_z, normal, np_,
-                       fwidth_normal, cfg)
+    for (dx, dy), wt, tap in zip(offsets, weights, taps):
+        v = _tap_valid(y0i + dy, x0i + dx, h, w, linear_z, fwidth_z,
+                       normal, fwidth_normal, tap, cfg)
         any_valid = any_valid | v
         wv = jnp.where(v, wt, 0.0)
         sum_w = sum_w + wv
-        acc_illum = acc_illum + wv[..., None] * gather2d(prev_illum_v, yi, xi)
-        acc_mom = acc_mom + wv[..., None] * gather2d(prev_m, yi, xi)[..., :2]
+        illum_var = jnp.concatenate([tap["illum"], tap["variance"][..., None]], -1)
+        acc_illum = acc_illum + wv[..., None] * illum_var
+        acc_mom = acc_mom + wv[..., None] * tap["moments"]
 
     bilinear_ok = any_valid & (sum_w >= 0.01)
     safe_w = jnp.maximum(sum_w, 1e-6)
@@ -111,17 +115,14 @@ def reproject(color: Array, emission: Array, albedo: Array,
     r_mom = jnp.zeros((h, w, 2), jnp.float32)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            xi = x0i + dx
-            yi = y0i + dy
-            in_b = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-            zp = gather2d(prev_linear_z, yi, xi)
-            np_ = gather2d(prev_normal, yi, xi)
-            v = _valid_tap(yi, xi, in_b, linear_z, zp, fwidth_z, normal, np_,
-                           fwidth_normal, cfg)
+            tap = fetch(atlas, y0i + dy, x0i + dx)
+            v = _tap_valid(y0i + dy, x0i + dx, h, w, linear_z, fwidth_z,
+                           normal, fwidth_normal, tap, cfg)
             vf = v.astype(jnp.float32)
             n_valid = n_valid + vf
-            r_illum = r_illum + vf[..., None] * gather2d(prev_illum_v, yi, xi)
-            r_mom = r_mom + vf[..., None] * gather2d(prev_m, yi, xi)[..., :2]
+            illum_var = jnp.concatenate([tap["illum"], tap["variance"][..., None]], -1)
+            r_illum = r_illum + vf[..., None] * illum_var
+            r_mom = r_mom + vf[..., None] * tap["moments"]
     rescue_ok = (~bilinear_ok) & (n_valid > 0)
     safe_n = jnp.maximum(n_valid, 1.0)
     prev_i = jnp.where(rescue_ok[..., None], r_illum / safe_n[..., None], prev_i)
@@ -130,9 +131,10 @@ def reproject(color: Array, emission: Array, albedo: Array,
     success = bilinear_ok | rescue_ok
 
     # history length fetched at the reprojected position (frag:143-147)
-    h_prev = gather2d(prev_history_len, jnp.round(fy).astype(jnp.int32),
-                      jnp.round(fx).astype(jnp.int32))
-    hist = jnp.minimum(cfg.history_cap, jnp.where(success, h_prev + 1.0, 1.0))
+    h_tap = fetch(atlas, jnp.round(fy).astype(jnp.int32),
+                  jnp.round(fx).astype(jnp.int32))
+    hist = jnp.minimum(cfg.history_cap,
+                       jnp.where(success, h_tap["history_len"] + 1.0, 1.0))
 
     alpha = jnp.where(success, jnp.maximum(cfg.alpha_min, 1.0 / hist), 1.0)
 
@@ -145,9 +147,8 @@ def reproject(color: Array, emission: Array, albedo: Array,
 
     # sky passthrough (frag:166-171): raw color, keep prior moments buffer
     out_illum = jnp.where(sky[..., None], color, out_illum)
-    variance = jnp.where(sky, prev_i[..., 3] * 0.0, variance)
-    prev_mom_same_pix = prev_moments  # frag:169 reads prev moments at uv
-    moments = jnp.where(sky[..., None], prev_mom_same_pix, moments)
+    variance = jnp.where(sky, 0.0, variance)
+    moments = jnp.where(sky[..., None], prev_moments, moments)
     hist = jnp.where(sky, prev_history_len, hist)
 
     return ReprojectOutput(illum=out_illum, variance=variance,

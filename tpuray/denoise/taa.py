@@ -47,17 +47,16 @@ def closest_velocity(velocity: Array, linear_z: Array) -> Array:
     (taa.frag:15-39)."""
     h, w = linear_z.shape
     best_z = jnp.full((h, w), jnp.inf, jnp.float32)
-    best_dy = jnp.zeros((h, w), jnp.int32)
-    best_dx = jnp.zeros((h, w), jnp.int32)
+    best_vel = velocity
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             z = shift2d(linear_z, dy, dx)
             better = z < best_z
             best_z = jnp.where(better, z, best_z)
-            best_dy = jnp.where(better, dy, best_dy)
-            best_dx = jnp.where(better, dx, best_dx)
-    yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
-    return gather2d(velocity, yy + best_dy, xx + best_dx)
+            # select the shifted velocity directly: no gather needed
+            best_vel = jnp.where(better[..., None],
+                                 shift2d(velocity, dy, dx), best_vel)
+    return best_vel
 
 
 def clip_aabb(cur_ycc_3x3_mu, cur_ycc_3x3_sigma, prev_ycc, gamma=1.0):
@@ -81,21 +80,13 @@ def taa(cur_color: Array, prev_color: Array, velocity: Array,
 
     vel = closest_velocity(velocity, linear_z)
 
-    # history fetch at uv - velocity (bilinear, taa.frag:137-139)
+    # history fetch at uv - velocity (bilinear, taa.frag:137-139); the 2x2
+    # neighborhood is quad-packed so the fetch is one gather on TPU
+    from tpuray.integrator.gather_tables import bilinear_fetch_packed, quad_pack_image
     yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
     u = jnp.clip((xx + 0.5) / w - vel[..., 0], 0.0, 1.0)
     v = jnp.clip((yy + 0.5) / h - vel[..., 1], 0.0, 1.0)
-    fx = u * w - 0.5
-    fy = v * h - 0.5
-    x0 = jnp.floor(fx).astype(jnp.int32)
-    y0 = jnp.floor(fy).astype(jnp.int32)
-    tx = (fx - x0)[..., None]
-    ty = (fy - y0)[..., None]
-    c00 = gather2d(prev_color, y0, x0)
-    c10 = gather2d(prev_color, y0, x0 + 1)
-    c01 = gather2d(prev_color, y0 + 1, x0)
-    c11 = gather2d(prev_color, y0 + 1, x0 + 1)
-    prev = (c00 * (1 - tx) + c10 * tx) * (1 - ty) + (c01 * (1 - tx) + c11 * tx) * ty
+    prev = bilinear_fetch_packed(quad_pack_image(prev_color), u, v, c=3)
 
     now_ycc = rgb_to_ycocgr(taa_tonemap(cur_color))
     prev_ycc = rgb_to_ycocgr(taa_tonemap(prev))
