@@ -31,21 +31,27 @@ def main() -> None:
     # reference render resolution (Utils/camera.h:5-6); smaller on CPU
     width = height = 800 if not on_cpu else 128
     cam = OrbitCamera(width=width, height=height).snapshot()
-    dirs = np.asarray(cam.ray_directions(height, width)).reshape(-1, 3)
-    orig = np.broadcast_to(np.asarray(cam.eye), dirs.shape)
-    n_rays = dirs.shape[0]
 
-    d = jnp.asarray(dirs)
-    o = jnp.asarray(orig)
+    # canonical tile-major ray order (each traversal packet = a screen tile)
+    from tpuray.render.tiling import tile_pixel_coords
+    xx, yy = tile_pixel_coords(height, width)
+    n_rays = int(xx.shape[0])
+    xs = (2.0 * (xx.astype(jnp.float32) + 0.5) / width - 1.0) * cam.tan_half_fov
+    ys = -(2.0 * (yy.astype(jnp.float32) + 0.5) / height - 1.0) * cam.tan_half_fov
+    d_cam = jnp.stack([xs, ys, -jnp.ones_like(xs)], axis=-1)
+    d = jnp.einsum("ij,nj->ni", cam.cam_to_world, d_cam)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(cam.eye, (n_rays, 3))
 
     t, idx = trace(scene.bvh, scene.triangles, o, d)
-    jax.block_until_ready(t)  # compile + warmup
+    _ = np.asarray(t[:1])  # compile + warmup (host transfer: the axon
+    # backend's block_until_ready can return before execution finishes)
 
     iters = 20 if not on_cpu else 3
     t0 = time.perf_counter()
     for _ in range(iters):
         t, idx = trace(scene.bvh, scene.triangles, o, d)
-    jax.block_until_ready(t)
+    _ = np.asarray(t[:1])  # device queue is serialized: forces all iters
     dt = (time.perf_counter() - t0) / iters
 
     rays_per_s = n_rays / dt

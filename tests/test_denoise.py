@@ -146,3 +146,33 @@ def test_taa_static_blends_toward_history(rng):
     prev = jnp.full((H, W, 3), 0.5)
     out = taa(cur, prev, jnp.zeros((H, W, 2)), z, frame=3)
     np.testing.assert_allclose(np.asarray(out), 0.5, rtol=1e-5)
+
+
+def test_static_camera_path_matches_general(rng):
+    """static_camera=True must equal the general path when motion == 0."""
+    normal, z, fw_n, fw_z = flat_gbuffer(rng)
+    albedo = jnp.full((H, W, 3), 0.5)
+    emission = jnp.zeros((H, W, 3))
+    motion = jnp.zeros((H, W, 2))
+    color = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    prev_illum = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    prev_var = jnp.asarray(rng.random((H, W)).astype(np.float32) * 0.1)
+    prev_moments = jnp.asarray(rng.random((H, W, 2)).astype(np.float32))
+    prev_hist = jnp.full((H, W), 5.0)
+    args = (color, emission, albedo, motion, normal, z, fw_n, fw_z,
+            prev_illum, prev_var, normal, z, prev_moments, prev_hist, CFG)
+    gen = reproject(*args, static_camera=False)
+    st = reproject(*args, static_camera=True)
+    for a, b in zip(gen, st):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_taa_static_matches_general(rng):
+    z = jnp.full((H, W), 2.0)
+    cur = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    prev = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    vel = jnp.zeros((H, W, 2))
+    a = taa(cur, prev, vel, z, 3, static_camera=False)
+    b = taa(cur, prev, vel, z, 3, static_camera=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

@@ -143,3 +143,35 @@ def test_gradients_wrt_light_radiance(scene, rng):
     rm = r0.copy(); rm[0, 0] -= eps
     fd = (float(loss(jnp.asarray(rp))) - float(loss(jnp.asarray(rm)))) / (2 * eps)
     np.testing.assert_allclose(g[0, 0], fd, rtol=0.05, atol=1e-6)
+
+
+def test_mis_integrator_sane(scene, rng):
+    """MIS mode renders finite radiance in the same ballpark as NEE."""
+    o, d = rays_toward_origin(256, rng)
+    px = jnp.arange(256, dtype=jnp.int32)
+    py = jnp.zeros((256,), jnp.int32)
+    out_nee = trace_paths(scene, o, d, px, py, 0,
+                          RenderConfig(max_tracing_depth=2))
+    out_mis = trace_paths(scene, o, d, px, py, 0,
+                          RenderConfig(max_tracing_depth=2, integrator="mis"))
+    a = np.asarray(out_nee.color)
+    b = np.asarray(out_mis.color)
+    assert np.isfinite(b).all()
+    assert (b >= 0).all()
+    # agree within MC noise on the mean (different estimators, same scene)
+    assert abs(a.mean() - b.mean()) / max(a.mean(), 1e-3) < 0.5, (a.mean(), b.mean())
+
+
+def test_mis_gradients_finite(scene, rng):
+    o, d = rays_toward_origin(32, rng)
+    px = jnp.arange(32, dtype=jnp.int32)
+    py = jnp.zeros((32,), jnp.int32)
+    cfg = RenderConfig(max_tracing_depth=2, integrator="mis")
+
+    def loss(bc):
+        s = scene.replace(materials=scene.materials.replace(base_color=bc))
+        return jnp.mean(trace_paths(s, o, d, px, py, 0, cfg).color)
+
+    g = np.asarray(jax.grad(loss)(scene.materials.base_color))
+    assert np.isfinite(g).all()
+    assert np.abs(g).sum() > 0

@@ -21,11 +21,26 @@ def gather2d(img: Array, yi: Array, xi: Array) -> Array:
 
 
 def shift2d(img: Array, dy: int, dx: int) -> Array:
-    """Static-offset neighbor fetch with edge clamp (GL clamp-to-edge)."""
-    h, w = img.shape[0], img.shape[1]
-    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-    return img[ys][:, xs]
+    """Static-offset neighbor fetch with edge clamp (GL clamp-to-edge).
+
+    Implemented with static slices + edge broadcast (never an index-array
+    gather — those are slow on TPU even when the indices are affine)."""
+    if dy > 0:
+        img = jnp.concatenate(
+            [img[dy:], jnp.broadcast_to(img[-1:], (dy,) + img.shape[1:])], axis=0)
+    elif dy < 0:
+        img = jnp.concatenate(
+            [jnp.broadcast_to(img[:1], (-dy,) + img.shape[1:]), img[:dy]], axis=0)
+    if dx > 0:
+        img = jnp.concatenate(
+            [img[:, dx:],
+             jnp.broadcast_to(img[:, -1:], (img.shape[0], dx) + img.shape[2:])],
+            axis=1)
+    elif dx < 0:
+        img = jnp.concatenate(
+            [jnp.broadcast_to(img[:, :1], (img.shape[0], -dx) + img.shape[2:]),
+             img[:, :dx]], axis=1)
+    return img
 
 
 def inside_mask(shape: tuple[int, int], dy: int, dx: int) -> Array:

@@ -51,7 +51,12 @@ def reproject(color: Array, emission: Array, albedo: Array,
               prev_illum: Array, prev_variance: Array,
               prev_normal: Array, prev_linear_z: Array,
               prev_moments: Array, prev_history_len: Array,
-              cfg: RenderConfig) -> ReprojectOutput:
+              cfg: RenderConfig, static_camera: bool = False) -> ReprojectOutput:
+    if static_camera:
+        return _reproject_static(
+            color, emission, albedo, normal, linear_z, fwidth_normal,
+            fwidth_z, prev_illum, prev_variance, prev_normal, prev_linear_z,
+            prev_moments, prev_history_len, cfg)
     h, w = color.shape[:2]
     yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
 
@@ -109,15 +114,32 @@ def reproject(color: Array, emission: Array, albedo: Array,
     prev_i = jnp.where(bilinear_ok[..., None], acc_illum / safe_w[..., None], 0.0)
     prev_mo = jnp.where(bilinear_ok[..., None], acc_mom / safe_w[..., None], 0.0)
 
-    # 3x3 cross-bilateral rescue (svgf_reproject.frag:111-141)
+    # 3x3 cross-bilateral rescue (svgf_reproject.frag:111-141): the 9 taps
+    # are covered by 4 quad fetches (2x2 blocks tiling the 4x4 neighborhood).
+    # Quad bases clamp to [0, dim-2] so fetched data always matches the tap's
+    # true position; taps outside the 3x3 window are masked per pixel.
     n_valid = jnp.zeros((h, w), jnp.float32)
     r_illum = jnp.zeros((h, w, 4), jnp.float32)
     r_mom = jnp.zeros((h, w, 2), jnp.float32)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            tap = fetch(atlas, y0i + dy, x0i + dx)
-            v = _tap_valid(y0i + dy, x0i + dx, h, w, linear_z, fwidth_z,
-                           normal, fwidth_normal, tap, cfg)
+    for base_dy, base_dx in ((-1, -1), (-1, 1), (1, -1), (1, 1)):
+        yb = jnp.clip(y0i + base_dy, 0, h - 2)
+        xb = jnp.clip(x0i + base_dx, 0, w - 2)
+        quad = fetch_quad(qatlas, yb, xb)
+        for (qdx, qdy), tap in zip(((0, 0), (1, 0), (0, 1), (1, 1)), quad):
+            ty = yb + qdy
+            tx = xb + qdx
+            in_window = (jnp.abs(ty - y0i) <= 1) & (jnp.abs(tx - x0i) <= 1)
+            # interior pixels see each window position exactly once (the 4
+            # quads tile a disjoint 4x4); at image borders clamped quads may
+            # overlap, double-weighting an edge tap — matching clamp-to-edge
+            # border behavior closely enough
+            if (base_dy, base_dx) != (-1, -1):
+                # drop the quad's duplicate coverage of the (0,0)..(-1,-1)
+                # block for interior pixels: only the first quad owns taps
+                # with ty<=y0 and tx<=x0
+                in_window = in_window & ~((ty <= y0i) & (tx <= x0i))
+            v = in_window & _tap_valid(ty, tx, h, w, linear_z, fwidth_z,
+                                       normal, fwidth_normal, tap, cfg)
             vf = v.astype(jnp.float32)
             n_valid = n_valid + vf
             illum_var = jnp.concatenate([tap["illum"], tap["variance"][..., None]], -1)
@@ -151,5 +173,75 @@ def reproject(color: Array, emission: Array, albedo: Array,
     moments = jnp.where(sky[..., None], prev_moments, moments)
     hist = jnp.where(sky, prev_history_len, hist)
 
+    return ReprojectOutput(illum=out_illum, variance=variance,
+                           moments=moments, history_len=hist)
+
+
+def _reproject_static(color, emission, albedo, normal, linear_z,
+                      fwidth_normal, fwidth_z, prev_illum, prev_variance,
+                      prev_normal, prev_linear_z, prev_moments,
+                      prev_history_len, cfg) -> ReprojectOutput:
+    """Static-camera specialization: motion == 0, so every history read is
+    the same pixel (bilinear collapses to the base tap) and the 3x3 rescue
+    uses static shifts — the whole pass is gather-free, which matters on TPU
+    where a single full-frame gather costs ~40 ms. Semantically identical to
+    the general path with motion = 0."""
+    from tpuray.denoise.common import inside_mask, shift2d
+
+    h, w = color.shape[:2]
+    sky = linear_z == 1.0
+
+    illum = (color - emission) / jnp.maximum(albedo, 1e-3)
+    illum = jnp.where(jnp.isnan(illum), 0.0, illum)
+
+    def tap_valid(z_p, n_p):
+        depth_ok = (jnp.abs(z_p - linear_z) / (fwidth_z + 1e-2)) \
+            <= cfg.reproj_depth_threshold
+        ndist = jnp.linalg.norm(normal - n_p, axis=-1)
+        normal_ok = (ndist / (fwidth_normal + 1e-2)) <= cfg.reproj_normal_threshold
+        return depth_ok & normal_ok
+
+    # bilinear collapses to the center tap (frac == 0)
+    base_valid = tap_valid(prev_linear_z, prev_normal)
+    prev_i = jnp.where(base_valid[..., None],
+                       jnp.concatenate([prev_illum, prev_variance[..., None]], -1),
+                       0.0)
+    prev_mo = jnp.where(base_valid[..., None], prev_moments, 0.0)
+
+    # 3x3 rescue with static shifts
+    n_valid = jnp.zeros((h, w), jnp.float32)
+    r_illum = jnp.zeros((h, w, 4), jnp.float32)
+    r_mom = jnp.zeros((h, w, 2), jnp.float32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            z_p = shift2d(prev_linear_z, dy, dx)
+            n_p = shift2d(prev_normal, dy, dx)
+            v = tap_valid(z_p, n_p) & inside_mask((h, w), dy, dx)
+            vf = v.astype(jnp.float32)
+            n_valid = n_valid + vf
+            iv = jnp.concatenate([shift2d(prev_illum, dy, dx),
+                                  shift2d(prev_variance, dy, dx)[..., None]], -1)
+            r_illum = r_illum + vf[..., None] * iv
+            r_mom = r_mom + vf[..., None] * shift2d(prev_moments, dy, dx)
+    rescue_ok = (~base_valid) & (n_valid > 0)
+    safe_n = jnp.maximum(n_valid, 1.0)
+    prev_i = jnp.where(rescue_ok[..., None], r_illum / safe_n[..., None], prev_i)
+    prev_mo = jnp.where(rescue_ok[..., None], r_mom / safe_n[..., None], prev_mo)
+
+    success = base_valid | rescue_ok
+    hist = jnp.minimum(cfg.history_cap,
+                       jnp.where(success, prev_history_len + 1.0, 1.0))
+    alpha = jnp.where(success, jnp.maximum(cfg.alpha_min, 1.0 / hist), 1.0)
+
+    lum = luminance(illum)
+    mom_new = jnp.stack([lum, lum * lum], axis=-1)
+    moments = (1.0 - alpha)[..., None] * prev_mo + alpha[..., None] * mom_new
+    variance = jnp.maximum(0.0, moments[..., 1] - moments[..., 0] ** 2)
+    out_illum = (1.0 - alpha)[..., None] * prev_i[..., :3] + alpha[..., None] * illum
+
+    out_illum = jnp.where(sky[..., None], color, out_illum)
+    variance = jnp.where(sky, 0.0, variance)
+    moments = jnp.where(sky[..., None], prev_moments, moments)
+    hist = jnp.where(sky, prev_history_len, hist)
     return ReprojectOutput(illum=out_illum, variance=variance,
                            moments=moments, history_len=hist)

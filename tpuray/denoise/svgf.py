@@ -41,7 +41,7 @@ class SVGFOutput(NamedTuple):
 
 def svgf_pipeline(color: Array, emission: Array, albedo: Array,
                   gbuf: GBuffer, state: FrameState,
-                  cfg: RenderConfig) -> SVGFOutput:
+                  cfg: RenderConfig, static_camera: bool = False) -> SVGFOutput:
     rep = reproject(
         color=color, emission=emission, albedo=albedo,
         motion=gbuf.velocity, normal=gbuf.normal, linear_z=gbuf.linear_z,
@@ -49,7 +49,7 @@ def svgf_pipeline(color: Array, emission: Array, albedo: Array,
         prev_illum=state.illum_hist, prev_variance=state.variance_hist,
         prev_normal=state.prev_normal, prev_linear_z=state.prev_linear_z,
         prev_moments=state.moments, prev_history_len=state.history_len,
-        cfg=cfg)
+        cfg=cfg, static_camera=static_camera)
 
     var = estimate_variance(
         illum=rep.illum, variance=rep.variance, moments=rep.moments,
@@ -67,7 +67,7 @@ def svgf_pipeline(color: Array, emission: Array, albedo: Array,
 
     mod = modulate(illum, albedo, emission, gbuf.linear_z)
     taa_out = taa(mod, state.taa_color, gbuf.velocity, gbuf.linear_z,
-                  state.frame_idx)
+                  state.frame_idx, static_camera=static_camera)
 
     return SVGFOutput(
         reprojected=rep.illum, reprojected_var=rep.variance,

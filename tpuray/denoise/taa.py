@@ -74,19 +74,24 @@ def clip_aabb(cur_ycc_3x3_mu, cur_ycc_3x3_sigma, prev_ycc, gamma=1.0):
 
 
 def taa(cur_color: Array, prev_color: Array, velocity: Array,
-        linear_z: Array, frame: Array | int) -> Array:
+        linear_z: Array, frame: Array | int,
+        static_camera: bool = False) -> Array:
     h, w = linear_z.shape
     sky = linear_z == 1.0
 
-    vel = closest_velocity(velocity, linear_z)
-
-    # history fetch at uv - velocity (bilinear, taa.frag:137-139); the 2x2
-    # neighborhood is quad-packed so the fetch is one gather on TPU
-    from tpuray.integrator.gather_tables import bilinear_fetch_packed, quad_pack_image
-    yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
-    u = jnp.clip((xx + 0.5) / w - vel[..., 0], 0.0, 1.0)
-    v = jnp.clip((yy + 0.5) / h - vel[..., 1], 0.0, 1.0)
-    prev = bilinear_fetch_packed(quad_pack_image(prev_color), u, v, c=3)
+    if static_camera:
+        # motion == 0: history fetch is the same pixel, no gather
+        vel = jnp.zeros((h, w, 2), jnp.float32)
+        prev = prev_color
+    else:
+        vel = closest_velocity(velocity, linear_z)
+        # history fetch at uv - velocity (bilinear, taa.frag:137-139); the
+        # 2x2 neighborhood is quad-packed so the fetch is one gather on TPU
+        from tpuray.integrator.gather_tables import bilinear_fetch_packed, quad_pack_image
+        yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+        u = jnp.clip((xx + 0.5) / w - vel[..., 0], 0.0, 1.0)
+        v = jnp.clip((yy + 0.5) / h - vel[..., 1], 0.0, 1.0)
+        prev = bilinear_fetch_packed(quad_pack_image(prev_color), u, v, c=3)
 
     now_ycc = rgb_to_ycocgr(taa_tonemap(cur_color))
     prev_ycc = rgb_to_ycocgr(taa_tonemap(prev))

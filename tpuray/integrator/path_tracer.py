@@ -257,6 +257,9 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
     orig/d: (N, 3); px/py: (N,) integer *global* pixel coords (RNG seeds —
     global so image tiles shard without changing the picture); frame: scalar.
     """
+    if cfg.integrator == "mis":
+        from tpuray.integrator.mis import trace_paths_mis
+        return trace_paths_mis(scene, orig, d, px, py, frame, cfg)
     n = orig.shape[0]
     pk = pack_scene_tables(scene)  # wide-gather tables (cheap reshuffles)
 

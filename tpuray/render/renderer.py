@@ -40,11 +40,15 @@ def tonemap(c: Array, limit: float = 1.5, gamma: float = 2.2) -> Array:
     return jnp.power(jnp.clip(c, 0.0, None), 1.0 / gamma)
 
 
-@partial(jax.jit, static_argnames=("cfg", "height", "width"))
+@partial(jax.jit, static_argnames=("cfg", "height", "width", "static_camera"))
 def render_frame(scene: Scene, camera: Camera, state: FrameState,
-                 cfg: RenderConfig, height: int, width: int
-                 ) -> tuple[FrameState, FrameOutputs]:
-    """Render one frame and advance the temporal state."""
+                 cfg: RenderConfig, height: int, width: int,
+                 static_camera: bool = False) -> tuple[FrameState, FrameOutputs]:
+    """Render one frame and advance the temporal state.
+
+    static_camera=True compiles the gather-free temporal path (motion == 0);
+    the Renderer selects it automatically when the view matrix is unchanged.
+    """
     frame = state.frame_idx
 
     # primary rays in 32x32-tile-major order: each Pallas traversal packet
@@ -82,7 +86,8 @@ def render_frame(scene: Scene, camera: Camera, state: FrameState,
         view_proj=camera.view_proj, prev_view_proj=state.prev_view_proj)
 
     if cfg.enable_svgf:
-        svgf = svgf_pipeline(pt_color, emission, albedo, gbuf, state, cfg)
+        svgf = svgf_pipeline(pt_color, emission, albedo, gbuf, state, cfg,
+                             static_camera=static_camera)
         final = svgf.taa if cfg.enable_taa else svgf.modulated
         new_state = state.replace(
             illum_hist=svgf.history_tap,
@@ -143,9 +148,12 @@ class Renderer:
         self.state = self.state.reset_accumulation()
 
     def step(self, camera: Camera) -> FrameOutputs:
+        static = bool(np.allclose(np.asarray(camera.view_proj),
+                                  np.asarray(self.state.prev_view_proj))
+                      and int(self.state.frame_idx) > 0)
         self.state, out = render_frame(
             self.scene, camera, self.state, self.cfg,
-            self.cfg.height, self.cfg.width)
+            self.cfg.height, self.cfg.width, static_camera=static)
         self.last_outputs = out
         return out
 

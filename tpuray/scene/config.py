@@ -33,6 +33,11 @@ class RenderConfig:
     height: int = 800
 
     # path tracing (gui_config.h:27-29)
+    # "nee": the reference's active integrator (pdf-weighted env+point NEE,
+    #        path_tracing.frag:948-968)
+    # "mis": the reference's written-but-unused MIS integrator, made usable
+    #        (path_tracing.frag:972-1052)
+    integrator: str = "nee"
     max_tracing_depth: int = 2          # bounces per 1spp frame (slider 1-4)
     clamp_threshold: float = 10.0       # radiance clamp
     accumulate: bool = True             # progressive accumulation
