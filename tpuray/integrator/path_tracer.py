@@ -269,21 +269,22 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
     _, seed = rng.rand(seed)
     _, seed = rng.rand(seed)
 
-    coherent = cfg.tile_coherent_sampling and n % 1024 == 0
+    from tpuray.kernels.trace_pallas import PACKET as _BLOCK
+    coherent = cfg.tile_coherent_sampling and n % _BLOCK == 0
     if coherent:
         # per-tile secondary-ray randoms (see RenderConfig): one stream per
         # 1024-ray packet, values broadcast across the tile
-        n_tiles = n // 1024
+        n_tiles = n // _BLOCK
         tid = jnp.arange(n_tiles, dtype=jnp.uint32)
         tseed = rng.pixel_seed(tid, tid * jnp.uint32(7919), frame)
 
         def tile_rand(ts):
             u, ts = rng.rand(ts)
-            return jnp.repeat(u, 1024), ts
+            return jnp.repeat(u, _BLOCK), ts
 
         cpr_u, cpr_v = rng.cranley_patterson_offsets(tid, tid * jnp.uint32(31))
-        cpr_u = jnp.repeat(cpr_u, 1024)
-        cpr_v = jnp.repeat(cpr_v, 1024)
+        cpr_u = jnp.repeat(cpr_u, _BLOCK)
+        cpr_v = jnp.repeat(cpr_v, _BLOCK)
     else:
         cpr_u, cpr_v = rng.cranley_patterson_offsets(px, py)
 
