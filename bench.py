@@ -15,6 +15,9 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    from tpuray.utils.platform import enable_compile_cache
+    enable_compile_cache()
+
     from tpuray.integrator.path_tracer import trace
     from tpuray.scene.camera import OrbitCamera
 

@@ -24,6 +24,14 @@ from tpuray.scene.config import RenderConfig
 Array = jax.Array
 
 
+def _on_tpu() -> bool:
+    """Trace-time backend check: the Pallas stencils are TPU-only."""
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
 class SVGFOutput(NamedTuple):
     reprojected: Array      # (H, W, 3) post-temporal-accumulation illumination
     reprojected_var: Array  # (H, W)
@@ -57,13 +65,18 @@ def svgf_pipeline(color: Array, emission: Array, albedo: Array,
         linear_z=gbuf.linear_z, fwidth_z=gbuf.fwidth_z, cfg=cfg)
 
     illum, variance = var.illum, var.variance
-    history_tap, history_tap_var = illum, variance
-    for i in range(cfg.num_atrous_iterations):
-        illum, variance = atrous_iteration(
-            illum, variance, gbuf.normal, gbuf.linear_z, gbuf.fwidth_z,
-            step=1 << i, cfg=cfg)
-        if i == cfg.history_atrous_tap:
-            history_tap, history_tap_var = illum, variance
+    if cfg.num_atrous_iterations > 0 and cfg.pallas_denoise and _on_tpu():
+        from tpuray.kernels.atrous_pallas import atrous_chain
+        (illum, variance), (history_tap, history_tap_var) = atrous_chain(
+            illum, variance, gbuf.normal, gbuf.linear_z, gbuf.fwidth_z, cfg)
+    else:
+        history_tap, history_tap_var = illum, variance
+        for i in range(cfg.num_atrous_iterations):
+            illum, variance = atrous_iteration(
+                illum, variance, gbuf.normal, gbuf.linear_z, gbuf.fwidth_z,
+                step=1 << i, cfg=cfg)
+            if i == cfg.history_atrous_tap:
+                history_tap, history_tap_var = illum, variance
 
     mod = modulate(illum, albedo, emission, gbuf.linear_z)
     taa_out = taa(mod, state.taa_color, gbuf.velocity, gbuf.linear_z,

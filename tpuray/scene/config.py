@@ -60,6 +60,11 @@ class RenderConfig:
     enable_svgf: bool = True
     enable_taa: bool = True
 
+    # use the fused Pallas a-trous stencil kernel when running on TPU
+    # (tpuray/kernels/atrous_pallas.py); the jnp path is the CPU/oracle
+    # implementation. Ignored off-TPU.
+    pallas_denoise: bool = True
+
     # TPU throughput mode: draw the secondary-ray randoms (envmap sample,
     # light pick, BSDF-lobe/CPR rotation) once per 32x32 ray tile instead of
     # per pixel. Keeps each packet's shadow/bounce rays direction-coherent,

@@ -22,3 +22,13 @@ def has_tpu() -> bool:
         return any(d.platform in ("tpu", "axon") for d in jax.devices())
     except RuntimeError:
         return False
+
+
+def enable_compile_cache(path: str = "/root/repo/.jax_cache") -> None:
+    """Persistent XLA compilation cache: TPU compiles (especially the first
+    remote compile on axon) cost minutes; cache hits cost milliseconds."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # older jax without these flags
