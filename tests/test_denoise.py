@@ -176,3 +176,37 @@ def test_taa_static_matches_general(rng):
     a = taa(cur, prev, vel, z, 3, static_camera=False)
     b = taa(cur, prev, vel, z, 3, static_camera=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_fast_reproject_matches_exact_for_smooth_motion(rng):
+    """fast_reproject (rescue taps from shifted base gathers) equals the
+    exact 4-quad rescue wherever the motion field is locally constant."""
+    normal, z, fw_n, fw_z = flat_gbuffer(rng)
+    albedo = jnp.full((H, W, 3), 0.5)
+    emission = jnp.zeros((H, W, 3))
+    # constant integer+fraction motion: 2.25 px right, 1.5 px down in uv
+    motion = jnp.stack([jnp.full((H, W), 2.25 / W), jnp.full((H, W), 1.5 / H)],
+                       axis=-1)
+    color = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    prev_illum = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    prev_var = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    prev_moments = jnp.asarray(rng.random((H, W, 2)).astype(np.float32))
+    prev_hist = jnp.full((H, W), 5.0)
+    # make the bilinear taps FAIL (prev depth differs) on a block so the
+    # rescue path is exercised, with prev normals valid there via 3x3
+    prev_z = z.at[8:16, 8:16].add(5.0)
+
+    args = dict(color=color, emission=emission, albedo=albedo, motion=motion,
+                normal=normal, linear_z=z, fwidth_normal=fw_n, fwidth_z=fw_z,
+                prev_illum=prev_illum, prev_variance=prev_var,
+                prev_normal=normal, prev_linear_z=prev_z,
+                prev_moments=prev_moments, prev_history_len=prev_hist)
+    exact = reproject(**args, cfg=CFG)
+    fast = reproject(**args, cfg=CFG.replace(fast_reproject=True))
+    interior = np.s_[4:-4, 4:-4]
+    np.testing.assert_allclose(np.asarray(fast.illum)[interior],
+                               np.asarray(exact.illum)[interior],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fast.history_len)[interior],
+                               np.asarray(exact.history_len)[interior],
+                               rtol=1e-5, atol=1e-5)

@@ -175,3 +175,36 @@ def test_mis_gradients_finite(scene, rng):
     g = np.asarray(jax.grad(loss)(scene.materials.base_color))
     assert np.isfinite(g).all()
     assert np.abs(g).sum() > 0
+
+
+def test_tile_coherent_sampling_finite_and_close():
+    """Tile-coherent mode (per-packet secondary randoms + per-tile env NEE
+    gathers) stays finite and statistically close to per-pixel mode."""
+    import jax.numpy as jnp
+    from tpuray.integrator.path_tracer import trace_paths
+    from tpuray.render.tiling import tile_pixel_coords
+    from tpuray.scene.camera import OrbitCamera
+    from tpuray.scene.config import RenderConfig
+    from tpuray.scene.procedural import make_test_scene
+
+    scene = make_test_scene(subdiv=1, env_width=32)
+    h = w = 64  # 4096 rays = 2 packets of 2048
+    cam = OrbitCamera(width=w, height=h).snapshot()
+    xx, yy = tile_pixel_coords(h, w)
+    n = xx.shape[0]
+    xs = (2.0 * (xx.astype(jnp.float32) + 0.5) / w - 1.0) * cam.tan_half_fov
+    ys = -(2.0 * (yy.astype(jnp.float32) + 0.5) / h - 1.0) * cam.tan_half_fov
+    d = jnp.stack([xs, ys, -jnp.ones_like(xs)], axis=-1)
+    d = jnp.einsum("ij,nj->ni", cam.cam_to_world, d)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    orig = jnp.broadcast_to(cam.eye, (n, 3))
+
+    cfg_c = RenderConfig(width=w, height=h, tile_coherent_sampling=True)
+    cfg_p = RenderConfig(width=w, height=h)
+    out_c = trace_paths(scene, orig, d, xx, h - 1 - yy, 1, cfg_c)
+    out_p = trace_paths(scene, orig, d, xx, h - 1 - yy, 1, cfg_p)
+    import numpy as np
+    assert np.isfinite(np.asarray(out_c.color)).all()
+    # different sampling pattern, same integrand: means agree loosely
+    m_c, m_p = float(out_c.color.mean()), float(out_p.color.mean())
+    assert abs(m_c - m_p) < 0.5 * max(m_p, 0.05) + 0.05

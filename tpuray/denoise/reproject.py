@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from tpuray.denoise.common import luminance
-from tpuray.denoise.history_atlas import build_atlas, fetch, fetch_quad
+from tpuray.denoise.history_atlas import build_atlas, fetch_quad
 from tpuray.scene.config import RenderConfig
 
 Array = jax.Array
@@ -121,6 +121,42 @@ def reproject(color: Array, emission: Array, albedo: Array,
     n_valid = jnp.zeros((h, w), jnp.float32)
     r_illum = jnp.zeros((h, w, 4), jnp.float32)
     r_mom = jnp.zeros((h, w, 2), jnp.float32)
+    if cfg.fast_reproject:
+        # TPU fast path: tap (y0+dy, x0+dx) at pixel p equals the base tap
+        # at pixel p+(dy,dx) wherever the motion field is locally smooth
+        # (y0(p+e) == y0(p)+e), so the 9 rescue taps become static shifts of
+        # the ONE quad gather already issued — saving 4 more full-frame
+        # gathers (~40 ms each on TPU). Differs from the exact rescue only
+        # across motion discontinuities, where reprojection is about to be
+        # rejected anyway.
+        from tpuray.denoise.common import shift2d
+        base = taps[0]
+        in_b0 = ((x0i >= 0) & (x0i < w) & (y0i >= 0) & (y0i < h)) \
+            .astype(jnp.float32)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                tap_s = {k: shift2d(val, dy, dx) for k, val in base.items()}
+                in_b = shift2d(in_b0, dy, dx) > 0.5
+                depth_ok = (jnp.abs(tap_s["linear_z"] - linear_z)
+                            / (fwidth_z + 1e-2)) <= cfg.reproj_depth_threshold
+                ndist = jnp.linalg.norm(normal - tap_s["normal"], axis=-1)
+                normal_ok = (ndist / (fwidth_normal + 1e-2)) \
+                    <= cfg.reproj_normal_threshold
+                vf = (in_b & depth_ok & normal_ok).astype(jnp.float32)
+                n_valid = n_valid + vf
+                illum_var = jnp.concatenate(
+                    [tap_s["illum"], tap_s["variance"][..., None]], -1)
+                r_illum = r_illum + vf[..., None] * illum_var
+                r_mom = r_mom + vf[..., None] * tap_s["moments"]
+        rescue_ok = (~bilinear_ok) & (n_valid > 0)
+        safe_n = jnp.maximum(n_valid, 1.0)
+        prev_i = jnp.where(rescue_ok[..., None],
+                           r_illum / safe_n[..., None], prev_i)
+        prev_mo = jnp.where(rescue_ok[..., None],
+                            r_mom / safe_n[..., None], prev_mo)
+        return _finish(color, illum, prev_i, prev_mo, bilinear_ok, rescue_ok,
+                       taps, fx, fy, x0i, y0i, sky, prev_moments,
+                       prev_history_len, linear_z, cfg, h, w)
     for base_dy, base_dx in ((-1, -1), (-1, 1), (1, -1), (1, 1)):
         yb = jnp.clip(y0i + base_dy, 0, h - 2)
         xb = jnp.clip(x0i + base_dx, 0, w - 2)
@@ -150,13 +186,35 @@ def reproject(color: Array, emission: Array, albedo: Array,
     prev_i = jnp.where(rescue_ok[..., None], r_illum / safe_n[..., None], prev_i)
     prev_mo = jnp.where(rescue_ok[..., None], r_mom / safe_n[..., None], prev_mo)
 
+    return _finish(color, illum, prev_i, prev_mo, bilinear_ok, rescue_ok,
+                   taps, fx, fy, x0i, y0i, sky, prev_moments,
+                   prev_history_len, linear_z, cfg, h, w)
+
+
+def _finish(color, illum, prev_i, prev_mo, bilinear_ok, rescue_ok, taps,
+            fx, fy, x0i, y0i, sky, prev_moments, prev_history_len,
+            linear_z, cfg, h, w) -> ReprojectOutput:
+    """EMA + history-length tail of the reprojection pass
+    (svgf_reproject.frag:143-205)."""
     success = bilinear_ok | rescue_ok
 
-    # history length fetched at the reprojected position (frag:143-147)
-    h_tap = fetch(atlas, jnp.round(fy).astype(jnp.int32),
-                  jnp.round(fx).astype(jnp.int32))
+    # history length fetched at the reprojected position (frag:143-147).
+    # round(fy/fx) is always one of the 4 bilinear corners already gathered,
+    # so select from the quad instead of issuing another full-frame gather
+    # (each costs ~40 ms on TPU).
+    # (clamped-index compare so screen borders match the clamped fetch)
+    near_x = jnp.clip(jnp.round(fx).astype(jnp.int32), 0, w - 1) \
+        > jnp.clip(x0i, 0, w - 1)
+    near_y = jnp.clip(jnp.round(fy).astype(jnp.int32), 0, h - 1) \
+        > jnp.clip(y0i, 0, h - 1)
+    h00 = taps[0]["history_len"]
+    h10 = taps[1]["history_len"]
+    h01 = taps[2]["history_len"]
+    h11 = taps[3]["history_len"]
+    hist_prev = jnp.where(
+        near_y, jnp.where(near_x, h11, h01), jnp.where(near_x, h10, h00))
     hist = jnp.minimum(cfg.history_cap,
-                       jnp.where(success, h_tap["history_len"] + 1.0, 1.0))
+                       jnp.where(success, hist_prev + 1.0, 1.0))
 
     alpha = jnp.where(success, jnp.maximum(cfg.alpha_min, 1.0 / hist), 1.0)
 

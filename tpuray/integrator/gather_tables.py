@@ -116,9 +116,29 @@ def pack_material_table(m) -> Array:
     return jnp.pad(packed, ((0, 0), (0, 32 - packed.shape[-1])))
 
 
+_SMALL_TABLE_ROWS = 64
+
+
+def fetch_small_table(table: Array, idx: Array) -> Array:
+    """Row fetch from a small (T<=64, W) table as an unrolled select-chain.
+
+    XLA's gather on TPU costs ~30ns/row *per index* regardless of table
+    size (even a 16-row table costs ~20 ms at 640k indices — measured in
+    scripts/bench_gather.py); T broadcast-selects cost <1 ms. Used for the
+    material and light tables."""
+    t = int(table.shape[0])
+    out = jnp.broadcast_to(table[0], idx.shape + (table.shape[1],))
+    for r in range(1, t):
+        out = jnp.where((idx == r)[..., None], table[r], out)
+    return out
+
+
 def fetch_material(table: Array, mat_id: Array):
     from tpuray.integrator.disney import ShadeMaterial
-    row = table[mat_id]  # one gather
+    if table.shape[0] <= _SMALL_TABLE_ROWS:
+        row = fetch_small_table(table, mat_id)  # select-chain, no gather
+    else:
+        row = table[mat_id]  # one gather
     return ShadeMaterial(
         emissive=row[..., 0:3], base_color=row[..., 3:6],
         subsurface=row[..., 6], metallic=row[..., 7], specular=row[..., 8],

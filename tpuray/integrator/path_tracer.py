@@ -76,18 +76,6 @@ class Hit(NamedTuple):
     t: Array          # (N,)
 
 
-def _gather_material(scene: Scene, mat_id: Array) -> ShadeMaterial:
-    m = scene.materials
-    return ShadeMaterial(
-        emissive=m.emissive[mat_id], base_color=m.base_color[mat_id],
-        subsurface=m.subsurface[mat_id], metallic=m.metallic[mat_id],
-        specular=m.specular[mat_id], specular_tint=m.specular_tint[mat_id],
-        roughness=m.roughness[mat_id], sheen=m.sheen[mat_id],
-        sheen_tint=m.sheen_tint[mat_id], clearcoat=m.clearcoat[mat_id],
-        clearcoat_gloss=m.clearcoat_gloss[mat_id],
-    )
-
-
 def _tex_fetch(scene: Scene, obj_id: Array, layer: int, uv: Array) -> Array:
     """Bilinear fetch from the per-object texture stack (layer 0..3)."""
     tex = scene.textures.data  # (O, 4, H, W, 3)
@@ -187,17 +175,28 @@ def resolve_hit(scene: Scene, orig: Array, d: Array, t: Array, idx: Array,
 
 
 def _env_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array,
-             r1: Array, r2: Array) -> tuple[Array, Array]:
+             r1: Array, r2: Array, tile_repeat: int = 1) -> tuple[Array, Array]:
     """Envmap light sample with shadow ray (hdriLight,
-    path_tracing.frag:922-946). Returns (contribution, pdf)."""
-    l = env.sample_env_packed(pk.env_cache_q, r1, r2)
+    path_tracing.frag:922-946). Returns (contribution, pdf).
+
+    tile_repeat > 1: r1/r2 are per-TILE randoms (tile-coherent sampling);
+    the envmap cache/pdf/radiance lookups — full-frame gathers otherwise,
+    ~30-90 ms each on TPU — run at tile granularity (N/tile_repeat rows)
+    and broadcast; only the shadow rays stay per-pixel."""
+    l_t = env.sample_env_packed(pk.env_cache_q, r1, r2)
+    radiance_t = env.env_radiance_packed(pk.env_image_q, l_t)
+    p_t = env.env_pdf_packed(pk.env_cache_q, l_t)
+    if tile_repeat > 1:
+        l = jnp.repeat(l_t, tile_repeat, axis=0)
+        radiance = jnp.repeat(radiance_t, tile_repeat, axis=0)
+        p = jnp.repeat(p_t, tile_repeat, axis=0)
+    else:
+        l, radiance, p = l_t, radiance_t, p_t
 
     _, sidx = trace(scene.bvh, scene.triangles, hit.point, l, any_hit=True)
     blocked = sidx >= 0
 
-    radiance = env.env_radiance_packed(pk.env_image_q, l)
     f_r = disney.evaluate(v, hit.normal, l, hit.mat)
-    p = env.env_pdf_packed(pk.env_cache_q, l)
     p = jnp.where(blocked, 0.0, p)
     # divisor must stay finite on blocked lanes: an inf in the unselected
     # where-branch turns into 0*inf = NaN in the backward pass
@@ -219,7 +218,8 @@ def _point_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array, u: Array
         return z, jnp.zeros(hit.point.shape[:-1], jnp.float32)
 
     li = jnp.minimum((u * n_lights).astype(jnp.int32), n_lights - 1)
-    lrow = pk.light_table[li]  # one gather
+    from tpuray.integrator.gather_tables import fetch_small_table
+    lrow = fetch_small_table(pk.light_table, li)  # select-chain, no gather
     lpos = lrow[..., 0:3]
     lrad = lrow[..., 3:6]
 
@@ -334,14 +334,18 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
         f_r = disney.evaluate(v, hit.normal, l_new, hit.mat)
         brdf_pdf = disney.pdf(v, hit.normal, l_new, hit.mat)
         if coherent:
-            er1, tseed = tile_rand(tseed)
-            er2, tseed = tile_rand(tseed)
+            # env NEE randoms stay per-tile (UNrepeated): the envmap
+            # cache/pdf/radiance gathers then run at n_tiles rows
+            er1_t, tseed = rng.rand(tseed)
+            er2_t, tseed = rng.rand(tseed)
             lu, tseed = tile_rand(tseed)
+            env_c, env_pdf_v = _env_nee(scene, pk, hit, v, er1_t, er2_t,
+                                        tile_repeat=_BLOCK)
         else:
             er1, seed = rng.rand(seed)
             er2, seed = rng.rand(seed)
             lu, seed = rng.rand(seed)
-        env_c, env_pdf_v = _env_nee(scene, pk, hit, v, er1, er2)
+            env_c, env_pdf_v = _env_nee(scene, pk, hit, v, er1, er2)
         pt_c, pt_pdf_v = _point_nee(scene, pk, hit, v, lu)
         cos_term = jnp.abs(ndotl)[..., None]
         brdf_c = hit.mat.emissive * f_r * cos_term / jnp.maximum(brdf_pdf, 1e-12)[..., None]

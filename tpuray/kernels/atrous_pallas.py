@@ -69,23 +69,36 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _tap_tables(step: int):
-    """(dy, dx, B3 kernel weight, euclidean dist) for the 24 non-center taps."""
-    dy, dx, kw, dist = [], [], [], []
-    for yy in (-2, -1, 0, 1, 2):
-        for xx in (-2, -1, 0, 1, 2):
-            if xx == 0 and yy == 0:
-                continue
-            dy.append(yy * step)
-            dx.append(xx * step)
-            kw.append(_K1D[abs(xx)] * _K1D[abs(yy)])
+    """Tap offset/weight tables, grouped by row offset: dy (5,), dx (5,),
+    kernel weight (25,) and distance (25,) indexed [dy_group * 5 + dx_idx].
+    The center tap's kernel weight is 0 (it is pre-seeded with weight 1)."""
+    offs = (-2, -1, 0, 1, 2)
+    kw, dist = [], []
+    for yy in offs:
+        for xx in offs:
+            w = 0.0 if (xx == 0 and yy == 0) else _K1D[abs(xx)] * _K1D[abs(yy)]
+            kw.append(w)
             dist.append(float((xx * xx + yy * yy) ** 0.5))
-    return (np.asarray(dy, np.int32), np.asarray(dx, np.int32),
+    dy = np.asarray([o * step for o in offs], np.int32)
+    return (dy, dy.copy(),
             np.asarray(kw, np.float32), np.asarray(dist, np.float32))
+
+
+def _pow_weight(x, sigma: float):
+    """clip(x,0,1)**sigma; repeated squaring when sigma is a power of two
+    (the reference default sigma_n=128 -> 7 multiplies, no exp/log)."""
+    x = jnp.clip(x, 0.0, 1.0)
+    s = float(sigma)
+    if s > 0 and s == int(s) and (int(s) & (int(s) - 1)) == 0:
+        for _ in range(int(s).bit_length() - 1):
+            x = x * x
+        return x
+    return jnp.power(x, np.float32(s))
 
 
 def _kernel(dy_tab, dx_tab, kw_tab, dist_tab,
             stat_hbm, dyn_hbm, out_hbm,
-            stat_scr, dyn_scr, out_scr, w_scr, sems, *,
+            stat_scr, dyn_scr, row_scr, out_scr, w_scr, sems, *,
             H: int, W: int, TH: int, WC: int, C: int, OFF_R: int, h8: int,
             step: int, sigma_n: float, sigma_l: float, quirks: bool):
     i = pl.program_id(0)
@@ -142,58 +155,60 @@ def _kernel(dy_tab, dx_tab, kw_tab, dist_tab,
     out_scr[_DYN_B] = b_c
     out_scr[_DYN_V] = var_c                         # center, squared weight 1
 
-    # full slabs, loaded once (aligned); taps below use dynamic rotates —
-    # Mosaic cannot prove alignment for dynamic-offset vector loads
-    slab_r, slab_g = dyn_scr[_DYN_R], dyn_scr[_DYN_G]
-    slab_b, slab_v = dyn_scr[_DYN_B], dyn_scr[_DYN_V]
-    slab_z = stat_scr[_ST_Z]
-    slab_nx, slab_ny, slab_nz = (stat_scr[_ST_NX], stat_scr[_ST_NY],
-                                 stat_scr[_ST_NZ])
-    wpt = slab_r.shape[1]
+    # Taps use dynamic rotates (Mosaic cannot prove alignment for
+    # dynamic-offset vector loads), grouped by row offset: each dy group
+    # row-rolls the 8 planes ONCE into row_scr, then the 5 dx taps only
+    # need cheap lane rolls of the (TH, wpt) rows.
+    wpt = dyn_scr.shape[2]
 
-    def tap(k, _):
-        dy = dy_tab[k]
-        dx = dx_tab[k]
+    def dy_group(gi, _):
+        dy = dy_tab[gi]
         shift_y = jax.lax.rem(th - (h8 + dy), th)
-        shift_x = jax.lax.rem(wpt - (C + dx), wpt)
+        for p in range(4):
+            row_scr[p] = pltpu.roll(dyn_scr[p], shift_y, axis=0)[0:TH]
+        for p in range(4):
+            row_scr[4 + p] = pltpu.roll(stat_scr[p], shift_y, axis=0)[0:TH]
+        in_y = (gy + dy >= 0) & (gy + dy < H)
 
-        def shifted(slab):
-            ry = pltpu.roll(slab, shift_y, axis=0)[0:TH]
-            return pltpu.roll(ry, shift_x, axis=1)[:, 0:WC]
+        def dx_tap(k, _):
+            dx = dx_tab[k]
+            shift_x = jax.lax.rem(wpt - (C + dx), wpt)
 
-        r_p = shifted(slab_r)
-        g_p = shifted(slab_g)
-        b_p = shifted(slab_b)
-        var_p = shifted(slab_v)
-        z_p = shifted(slab_z)
-        ndot = (nx_c * shifted(slab_nx)
-                + ny_c * shifted(slab_ny)
-                + nz_c * shifted(slab_nz))
-        l_p = 0.2125 * r_p + 0.7154 * g_p + 0.0721 * b_p
+            def sh(p):
+                return pltpu.roll(row_scr[p], shift_x, axis=1)[:, 0:WC]
 
-        inside = ((gy + dy >= 0) & (gy + dy < H)
-                  & (gx + dx >= 0) & (gx + dx < W))
+            r_p, g_p, b_p, var_p = sh(_DYN_R), sh(_DYN_G), sh(_DYN_B), sh(_DYN_V)
+            z_p = sh(4 + _ST_Z)
+            ndot = nx_c * sh(4 + _ST_NX) + ny_c * sh(4 + _ST_NY) \
+                + nz_c * sh(4 + _ST_NZ)
+            l_p = 0.2125 * r_p + 0.7154 * g_p + 0.0721 * b_p
 
-        # edge-stopping weight (svgf_Atrous.frag:43-55)
-        w_normal = jnp.power(jnp.clip(ndot, 0.0, 1.0), np.float32(sigma_n))
-        phi_d = phi_depth * dist_tab[k]
-        w_z = jnp.where(phi_d == 0.0, 0.0,
-                        jnp.abs(z_c - z_p)
-                        / jnp.where(phi_d == 0.0, 1.0, phi_d))
-        w_l = jnp.abs(l_c - l_p) / phi_l
-        w = jnp.exp(-jnp.maximum(w_l, 0.0) - jnp.maximum(w_z, 0.0)) * w_normal
-        w = jnp.where(inside, w * kw_tab[k], 0.0)
+            inside = in_y & (gx + dx >= 0) & (gx + dx < W)
 
-        # mask values too: halo reads past the image may be garbage (the rim
-        # of the padded buffer is never written) and 0*NaN = NaN
-        w_scr[...] += w
-        out_scr[_DYN_R] += w * jnp.where(inside, r_p, 0.0)
-        out_scr[_DYN_G] += w * jnp.where(inside, g_p, 0.0)
-        out_scr[_DYN_B] += w * jnp.where(inside, b_p, 0.0)
-        out_scr[_DYN_V] += w * w * jnp.where(inside, var_p, 0.0)
+            # edge-stopping weight (svgf_Atrous.frag:43-55)
+            w_normal = _pow_weight(ndot, sigma_n)
+            phi_d = phi_depth * dist_tab[gi * 5 + k]
+            w_z = jnp.where(phi_d == 0.0, 0.0,
+                            jnp.abs(z_c - z_p)
+                            / jnp.where(phi_d == 0.0, 1.0, phi_d))
+            w_l = jnp.abs(l_c - l_p) / phi_l
+            w = (jnp.exp(-jnp.maximum(w_l, 0.0) - jnp.maximum(w_z, 0.0))
+                 * w_normal)
+            w = jnp.where(inside, w * kw_tab[gi * 5 + k], 0.0)
+
+            # mask values too: halo reads past the image may be garbage (the
+            # rim of the padded buffer is never written) and 0*NaN = NaN
+            w_scr[...] += w
+            out_scr[_DYN_R] += w * jnp.where(inside, r_p, 0.0)
+            out_scr[_DYN_G] += w * jnp.where(inside, g_p, 0.0)
+            out_scr[_DYN_B] += w * jnp.where(inside, b_p, 0.0)
+            out_scr[_DYN_V] += w * w * jnp.where(inside, var_p, 0.0)
+            return 0
+
+        jax.lax.fori_loop(0, 5, dx_tap, 0)
         return 0
 
-    jax.lax.fori_loop(0, dy_tab.shape[0], tap, 0)
+    jax.lax.fori_loop(0, 5, dy_group, 0)
 
     inv_w = 1.0 / w_scr[...]
     sky = z_c == 1.0  # envmap passthrough (svgf_Atrous.frag:77-82)
@@ -234,6 +249,7 @@ def _atrous_step(stat: Array, dyn: Array, *, H: int, W: int, TH: int, WC: int,
         scratch_shapes=[
             pltpu.VMEM((5, th, wpt), jnp.float32),
             pltpu.VMEM((4, th, wpt), jnp.float32),
+            pltpu.VMEM((8, TH, wpt), jnp.float32),  # row-rolled planes
             pltpu.VMEM((4, TH, WC), jnp.float32),
             pltpu.VMEM((TH, WC), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
@@ -252,7 +268,7 @@ def _pick_strip_height(wpt: int, wc: int, max_step: int) -> int:
     """Largest strip height whose scratch + live temporaries fit the budget."""
     h8_max = _ceil_to(2 * max_step, 8)
     for th in (256, 128, 64, 32, 16, 8):
-        need = (9 * (th + 2 * h8_max) * wpt + 29 * th * wc) * 4
+        need = (9 * (th + 2 * h8_max) * wpt + 8 * th * wpt + 29 * th * wc) * 4
         if need <= _VMEM_BUDGET:
             return th
     raise ValueError(f"image too wide for the a-trous kernel (wpt={wpt})")

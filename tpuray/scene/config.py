@@ -65,6 +65,13 @@ class RenderConfig:
     # implementation. Ignored off-TPU.
     pallas_denoise: bool = True
 
+    # TPU throughput mode for the moving-camera reprojection: derive the 3x3
+    # disocclusion-rescue taps from static shifts of the one bilinear quad
+    # gather instead of 4 more full-frame gathers (~40 ms each). Exact
+    # wherever the motion field is locally smooth; differs only across
+    # motion discontinuities. Off = reference tap-exact semantics.
+    fast_reproject: bool = False
+
     # TPU throughput mode: draw the secondary-ray randoms (envmap sample,
     # light pick, BSDF-lobe/CPR rotation) once per 32x32 ray tile instead of
     # per pixel. Keeps each packet's shadow/bounce rays direction-coherent,
