@@ -57,57 +57,32 @@ def _kernel(meta_ref, aabb_ref, tverts_ref,
     inv_dx, inv_dy, inv_dz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
     def tri_test(ti, _, entered_mask):
-        """Test triangle ti (scalar) against the whole packet."""
+        """Test triangle ti (scalar) against the whole packet.
+
+        Precomputed plane + barycentric-transform predicate — op order
+        mirrors integrator.intersect.ray_triangle_pre exactly so the
+        kernel and the XLA oracle agree bit-for-bit."""
         t = t_scr[...]
         idx = idx_scr[...]
-        p0x = tverts_ref[0, ti]
-        p0y = tverts_ref[1, ti]
-        p0z = tverts_ref[2, ti]
-        e1x = tverts_ref[3, ti] - p0x
-        e1y = tverts_ref[4, ti] - p0y
-        e1z = tverts_ref[5, ti] - p0z
-        e2x = tverts_ref[6, ti] - p0x
-        e2y = tverts_ref[7, ti] - p0y
-        e2z = tverts_ref[8, ti] - p0z
-        # geometric normal (scalar cross product)
-        nx = e1y * e2z - e1z * e2y
-        ny = e1z * e2x - e1x * e2z
-        nz = e1x * e2y - e1y * e2x
-        inv_len = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
-        nx, ny, nz = nx * inv_len, ny * inv_len, nz * inv_len
-
+        nx = tverts_ref[0, ti]
+        ny = tverts_ref[1, ti]
+        nz = tverts_ref[2, ti]
+        np0 = tverts_ref[3, ti]
         ndotd = nx * dx + ny * dy + nz * dz          # (R, L)
-        # two-sided: flip the normal toward the ray
-        sgn = jnp.where(ndotd > 0, np.float32(-1.0), np.float32(1.0))
-        fnx, fny, fnz = nx * sgn, ny * sgn, nz * sgn
-        ndotd_f = jnp.abs(ndotd)
-
-        # t = n_f.(p0 - o) / (n_f.d), and n_f.d == -|n.d| since n_f faces the ray
-        denom = jnp.where(ndotd_f < PARALLEL_EPS, np.float32(-1.0), -ndotd_f)
-        num = (fnx * (p0x - ox) + fny * (p0y - oy) + fnz * (p0z - oz))
-        t_hit = num / denom
+        ndoto = nx * ox + ny * oy + nz * oz
+        invalid = jnp.abs(ndotd) < PARALLEL_EPS
+        denom = jnp.where(invalid, np.float32(1.0), ndotd)
+        t_hit = (np0 - ndoto) / denom
         px = ox + dx * t_hit
         py = oy + dy * t_hit
         pz = oz + dz * t_hit
+        u = (tverts_ref[4, ti] * px + tverts_ref[5, ti] * py
+             + tverts_ref[6, ti] * pz + tverts_ref[7, ti])
+        v = (tverts_ref[8, ti] * px + tverts_ref[9, ti] * py
+             + tverts_ref[10, ti] * pz + tverts_ref[11, ti])
+        in_tri = (u > 0) & (v > 0) & (u + v < 1)
 
-        # inside tests via cross products against the facing normal
-        def edge(ax, ay, az, bx, by, bz):
-            # (b - a) x (p - a) . n_f
-            ex, ey, ez = bx - ax, by - ay, bz - az
-            qx, qy, qz = px - ax, py - ay, pz - az
-            cx = ey * qz - ez * qy
-            cy = ez * qx - ex * qz
-            cz = ex * qy - ey * qx
-            return cx * fnx + cy * fny + cz * fnz
-
-        p1x, p1y, p1z = p0x + e1x, p0y + e1y, p0z + e1z
-        p2x, p2y, p2z = p0x + e2x, p0y + e2y, p0z + e2z
-        c0 = edge(p0x, p0y, p0z, p1x, p1y, p1z)
-        c1 = edge(p1x, p1y, p1z, p2x, p2y, p2z)
-        c2 = edge(p2x, p2y, p2z, p0x, p0y, p0z)
-        in_tri = ((c0 > 0) & (c1 > 0) & (c2 > 0)) | ((c0 < 0) & (c1 < 0) & (c2 < 0))
-
-        hit = ((ndotd_f >= PARALLEL_EPS) & (t_hit >= T_MIN) & in_tri
+        hit = (jnp.logical_not(invalid) & (t_hit >= T_MIN) & in_tri
                & entered_mask & (t_hit < t) & (t_hit < tmax))
         t_scr[...] = jnp.where(hit, t_hit, t)
         idx_scr[...] = jnp.where(hit, ti, idx)
@@ -180,7 +155,7 @@ def trace_packets(meta: Array, aabb: Array, tverts: Array,
 
     meta: (3, n_nodes) int32 [skip; first_tri; tri_count]
     aabb: (6, n_nodes) f32  [amin; amax]
-    tverts: (9, T) f32      [p0; p1; p2]
+    tverts: (12, T) f32     [n; n.p0; T1; t1w; T2; t2w] (precomputed constants)
     (transposed row-major: SMEM pads each *row* to 512 B, so the scalar
     tables must keep few rows / long rows to fit the 1 MiB SMEM budget)
     orig, d: (N, 3) f32; t_max: (N,) f32.
@@ -247,10 +222,17 @@ def trace_packets(meta: Array, aabb: Array, tverts: Array,
 # ---------------------------------------------------------------------------
 
 def pack_scene(bvh: BVHSoA, tri: TriangleSoA) -> tuple[Array, Array, Array]:
-    """Pack SoA scene into the kernel's SMEM operand layout."""
+    """Pack SoA scene into the kernel's SMEM operand layout.
+
+    Triangles are packed as 12 precomputed intersection constants
+    (integrator.intersect.triangle_constants): n, n.p0, T1, t1w, T2, t2w."""
+    from tpuray.integrator.intersect import triangle_constants
     meta = jnp.stack([bvh.skip, bvh.first_tri, bvh.tri_count], axis=0)
     aabb = jnp.concatenate([bvh.aabb_min.T, bvh.aabb_max.T], axis=0)
-    tverts = jnp.concatenate([tri.p0.T, tri.p1.T, tri.p2.T], axis=0)
+    tc = triangle_constants(tri)
+    tverts = jnp.concatenate([
+        tc["n"].T, tc["np0"][None], tc["t1"].T, tc["t1w"][None],
+        tc["t2"].T, tc["t2w"][None]], axis=0)
     return meta.astype(jnp.int32), aabb.astype(jnp.float32), tverts.astype(jnp.float32)
 
 
