@@ -38,14 +38,18 @@ INF = np.float32(1e30)
 T_MIN = np.float32(5e-4)
 PARALLEL_EPS = np.float32(1e-5)
 
-PACKET_ROWS = 16         # sublanes per packet (16 benched fastest on v5e)
+PACKET_ROWS = 32         # sublanes per packet (32 benched fastest on v5e)
 PACKET_LANES = 128       # lanes
 PACKET = PACKET_ROWS * PACKET_LANES  # rays per packet (= two 32x32 tiles)
 
 
+MAX_STACK = 128  # >= 2 * max tree depth; asserted at pack time
+
+
 def _kernel(meta_ref, aabb_ref, tverts_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-            t_out, idx_out, t_scr, idx_scr, *, n_nodes: int, any_hit: bool):
+            t_out, idx_out, t_scr, idx_scr, stack_ref,
+            *, n_nodes: int, any_hit: bool):
     ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
     dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
     tmax = tmax_ref[...]
@@ -88,20 +92,29 @@ def _kernel(meta_ref, aabb_ref, tverts_ref,
         idx_scr[...] = jnp.where(hit, ti, idx)
         return 0
 
-    def body(node):
+    # dominant packet direction (scalars, once per packet) for near-first
+    # child ordering — the TPU analogue of the reference's per-ray distance
+    # compare (path_tracing.frag:408-420)
+    sx = jnp.sum(dx)
+    sy = jnp.sum(dy)
+    sz = jnp.sum(dz)
+
+    def body(sp):
+        sp = sp - 1
+        node = stack_ref[sp]
         t = t_scr[...]
         idx = idx_scr[...]
-        done = node >= n_nodes
-        nd = jnp.minimum(node, n_nodes - 1)
-        amin_x = aabb_ref[0, nd]
-        amin_y = aabb_ref[1, nd]
-        amin_z = aabb_ref[2, nd]
-        amax_x = aabb_ref[3, nd]
-        amax_y = aabb_ref[4, nd]
-        amax_z = aabb_ref[5, nd]
-        skip = meta_ref[0, nd]
-        first = meta_ref[1, nd]
-        count = meta_ref[2, nd]
+        amin_x = aabb_ref[0, node]
+        amin_y = aabb_ref[1, node]
+        amin_z = aabb_ref[2, node]
+        amax_x = aabb_ref[3, node]
+        amax_y = aabb_ref[4, node]
+        amax_z = aabb_ref[5, node]
+        first = meta_ref[0, node]
+        count = meta_ref[1, node]
+        right = meta_ref[2, node]
+        axis = meta_ref[3, node]
+        left_low = meta_ref[4, node]
 
         f0 = (amax_x - ox) * inv_dx
         n0 = (amin_x - ox) * inv_dx
@@ -118,8 +131,7 @@ def _kernel(meta_ref, aabb_ref, tverts_ref,
             active = idx < 0
         else:
             active = jnp.ones_like(t, dtype=bool)
-        hit = ((t1 >= jnp.maximum(t0, 0.0)) & (t0 < limit) & (t1 > 0.0)
-               & active & jnp.logical_not(done))
+        hit = ((t1 >= jnp.maximum(t0, 0.0)) & (t0 < limit) & (t1 > 0.0) & active)
 
         entered = jnp.any(hit)
         # leaf scan: trip count 0 for inner nodes or unentered subtrees
@@ -130,19 +142,32 @@ def _kernel(meta_ref, aabb_ref, tverts_ref,
 
         jax.lax.fori_loop(0, n_tris, leaf_body, 0)
 
-        next_node = jnp.where(entered & (count == 0), nd + 1, skip)
+        # inner & entered: push far then near (near popped first)
+        dpos = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz)) > 0
+        near_is_left = dpos == (left_low == 1)
+        left = node + 1
+        near = jnp.where(near_is_left, left, right)
+        far = jnp.where(near_is_left, right, left)
+        push = entered & (count == 0)
+
+        @pl.when(push)
+        def _():
+            stack_ref[sp] = far
+            stack_ref[sp + 1] = near
+
+        sp = jnp.where(push, sp + 2, sp)
         if any_hit:
             # all rays found their hit -> stop the walk
-            next_node = jnp.where(jnp.all(idx_scr[...] >= 0), n_nodes, next_node)
-        next_node = jnp.where(done, node, next_node)
-        return next_node
+            sp = jnp.where(jnp.all(idx_scr[...] >= 0), 0, sp)
+        return sp
 
     t_scr[...] = jnp.full((PACKET_ROWS, PACKET_LANES), INF, jnp.float32)
     idx_scr[...] = jnp.full((PACKET_ROWS, PACKET_LANES), -1, jnp.int32)
-    # early-exit walk with a *scalar-only* while carry (Mosaic mishandles
-    # large vector carries in while_loop); vector state lives in VMEM scratch.
-    # The preorder pointer strictly increases, so the loop is bounded.
-    jax.lax.while_loop(lambda node: node < n_nodes, body, jnp.int32(0))
+    # near-first ordered DFS with a *scalar* stack in SMEM; the while carry
+    # is the stack pointer only (Mosaic mishandles large vector carries in
+    # while_loop) — vector state lives in VMEM scratch.
+    stack_ref[0] = jnp.int32(0)
+    jax.lax.while_loop(lambda sp: sp > 0, body, jnp.int32(1))
     t_out[...] = t_scr[...]
     idx_out[...] = idx_scr[...]
 
@@ -201,6 +226,7 @@ def trace_packets(meta: Array, aabb: Array, tverts: Array,
         scratch_shapes=[
             pltpu.VMEM((PACKET_ROWS, PACKET_LANES), jnp.float32),
             pltpu.VMEM((PACKET_ROWS, PACKET_LANES), jnp.int32),
+            pltpu.SMEM((MAX_STACK,), jnp.int32),
         ],
     )
 
@@ -225,9 +251,35 @@ def pack_scene(bvh: BVHSoA, tri: TriangleSoA) -> tuple[Array, Array, Array]:
     """Pack SoA scene into the kernel's SMEM operand layout.
 
     Triangles are packed as 12 precomputed intersection constants
-    (integrator.intersect.triangle_constants): n, n.p0, T1, t1w, T2, t2w."""
+    (integrator.intersect.triangle_constants): n, n.p0, T1, t1w, T2, t2w.
+
+    meta rows (int32): [first_tri; tri_count; right_child; split_axis;
+    left_is_low]. right_child of inner node i = skip[i+1] (the node after
+    the left subtree in the DFS-preorder layout); split_axis/left_is_low
+    drive near-first child ordering from the packet's dominant direction."""
     from tpuray.integrator.intersect import triangle_constants
-    meta = jnp.stack([bvh.skip, bvh.first_tri, bvh.tri_count], axis=0)
+    skip, count = bvh.skip, bvh.tri_count
+    n_nodes = skip.shape[0]
+    left = jnp.arange(n_nodes, dtype=jnp.int32) + 1
+    clip_l = jnp.minimum(left, n_nodes - 1)
+    right = jnp.where(count == 0, skip[clip_l], 0).astype(jnp.int32)
+    center = 0.5 * (bvh.aabb_min + bvh.aabb_max)
+    lc = center[clip_l]
+    rc = center[jnp.minimum(right, n_nodes - 1)]
+    axis = jnp.argmax(jnp.abs(rc - lc), axis=-1).astype(jnp.int32)
+    left_low = (jnp.take_along_axis(lc, axis[:, None], 1)
+                <= jnp.take_along_axis(rc, axis[:, None], 1))[:, 0].astype(jnp.int32)
+    if not isinstance(skip, jax.core.Tracer):
+        # stack bound: DFS max live stack (only checkable on concrete trees)
+        cnt_np, right_np = np.asarray(count), np.asarray(right)
+        stack, max_sp = [0], 1
+        while stack:
+            nd = stack.pop()
+            if cnt_np[nd] == 0:
+                stack += [int(right_np[nd]), nd + 1]
+                max_sp = max(max_sp, len(stack))
+        assert max_sp < MAX_STACK, f"BVH needs stack {max_sp} >= {MAX_STACK}"
+    meta = jnp.stack([bvh.first_tri, count, right, axis, left_low], axis=0)
     aabb = jnp.concatenate([bvh.aabb_min.T, bvh.aabb_max.T], axis=0)
     tc = triangle_constants(tri)
     tverts = jnp.concatenate([
