@@ -68,3 +68,29 @@ def test_nonmultiple_ray_count(interp_trace, scene, rng):
     t_ref, i_ref = trace_xla(scene.bvh, scene.triangles, o, d)
     t_pk, i_pk = interp_trace.trace_pallas(scene.bvh, scene.triangles, o, d)
     np.testing.assert_array_equal(np.asarray(i_pk), np.asarray(i_ref))
+
+
+def test_large_scene_smem_fallback(scene):
+    """Scenes beyond the SMEM budget must dispatch to the XLA wavefront."""
+    from tpuray.integrator import path_tracer as pt
+    from tpuray.kernels.trace_pallas import scene_fits_smem
+
+    assert scene_fits_smem(scene.bvh.count, scene.triangles.count)
+    assert not scene_fits_smem(100_000, 200_000)
+
+    o = jnp.asarray(np.tile([[0.0, 0.3, 2.0]], (64, 1)), jnp.float32)
+    d = jnp.asarray(np.tile([[0.0, 0.0, -1.0]], (64, 1)), jnp.float32)
+    pt.set_trace_backend("pallas")
+    try:
+        # force the size check to fail by monkeypatching the budget fn
+        t_ref, i_ref = trace_xla(scene.bvh, scene.triangles, o, d)
+        import tpuray.kernels.trace_pallas as tp
+        orig_fits = tp.scene_fits_smem
+        tp.scene_fits_smem = lambda n_nodes, n_tris: False
+        try:
+            t, i = pt.trace(scene.bvh, scene.triangles, o, d)
+        finally:
+            tp.scene_fits_smem = orig_fits
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    finally:
+        pt.set_trace_backend("auto")

@@ -86,6 +86,42 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_animate(args) -> int:
+    """Headless equivalent of the reference's interactive orbit loop
+    (mouse-drag rotate, main.cpp:614-655): step the camera each frame and
+    write a PNG sequence. Exercises motion vectors / SVGF reprojection / TAA
+    exactly like dragging does in the reference GUI."""
+    import sys
+    import time
+
+    import jax
+
+    from tpuray.io.image import write_png
+    from tpuray.render.renderer import Renderer
+    from tpuray.scene.camera import OrbitCamera
+    from tpuray.scene.config import DebugView, RenderConfig
+    from tpuray.utils.metrics import FrameMetrics
+
+    cfg = (RenderConfig.load(args.config) if args.config else RenderConfig())
+    cfg = cfg.replace(width=args.size, height=args.size)
+    scene = _build_scene(args.scene, False)
+    cam = OrbitCamera(width=cfg.width, height=cfg.height,
+                      yaw_deg=args.yaw, pitch_deg=args.pitch, radius=args.radius)
+    r = Renderer(scene, cfg)
+    metrics = FrameMetrics(cfg.width, cfg.height, cfg.max_tracing_depth)
+    view = DebugView[_VIEWS[args.view]]
+    for i in range(args.frames):
+        cam.rotate(args.deg_per_frame, 0.0)
+        t0 = time.perf_counter()
+        out = r.step(cam.snapshot())
+        jax.block_until_ready(out.final)
+        metrics.record(time.perf_counter() - t0)
+        if i % args.every == 0:
+            write_png(f"{args.out_prefix}_{i:04d}.png", r.display_image(view))
+    print(metrics.summary(), file=sys.stderr)
+    return 0
+
+
 def cmd_train(args) -> int:
     import jax.numpy as jnp
     import numpy as np
@@ -161,6 +197,22 @@ def main(argv=None) -> int:
     pt.add_argument("--lr", type=float, default=0.05)
     pt.add_argument("--out-prefix", default="train")
     pt.set_defaults(fn=cmd_train)
+
+    pa = sub.add_parser("animate", help="orbiting-camera PNG sequence "
+                        "(headless stand-in for the reference's GUI orbit)")
+    pa.add_argument("--scene", default="procedural",
+                    choices=["procedural", "reference", "table"])
+    pa.add_argument("--frames", type=int, default=24)
+    pa.add_argument("--size", type=int, default=256)
+    pa.add_argument("--deg-per-frame", type=float, default=1.5)
+    pa.add_argument("--every", type=int, default=1, help="write every k-th frame")
+    pa.add_argument("--view", default="final", choices=sorted(_VIEWS))
+    pa.add_argument("--out-prefix", default="anim")
+    pa.add_argument("--config", default=None)
+    pa.add_argument("--yaw", type=float, default=0.0)
+    pa.add_argument("--pitch", type=float, default=10.0)
+    pa.add_argument("--radius", type=float, default=2.0)
+    pa.set_defaults(fn=cmd_animate)
 
     pb = sub.add_parser("bench", help="run the benchmark")
     pb.set_defaults(fn=cmd_bench)

@@ -59,8 +59,11 @@ def _use_pallas() -> bool:
 
 def trace(bvh, tri, orig, d, t_max=INF, any_hit=False):
     if _use_pallas():
-        from tpuray.kernels.trace_pallas import trace_pallas
-        return trace_pallas(bvh, tri, orig, d, t_max=t_max, any_hit=any_hit)
+        from tpuray.kernels.trace_pallas import scene_fits_smem, trace_pallas
+        if scene_fits_smem(bvh.count, tri.count):
+            return trace_pallas(bvh, tri, orig, d, t_max=t_max, any_hit=any_hit)
+        # scene scalar tables exceed the SMEM budget: fall back to the XLA
+        # wavefront (correct for any size, slower) rather than failing
     return trace_xla(bvh, tri, orig, d, t_max=t_max, any_hit=any_hit)
 
 

@@ -172,13 +172,21 @@ def _kernel(meta_ref, aabb_ref, tverts_ref,
     idx_out[...] = idx_scr[...]
 
 
+def scene_fits_smem(n_nodes: int, n_tris: int) -> bool:
+    """Whether the packed scalar tables (meta 5 rows + aabb 6 rows + 12
+    triangle-constant rows) fit the kernel's SMEM budget. Callers that get
+    False should use the XLA wavefront (integrator.intersect.trace)."""
+    smem_bytes = (11 * int(n_nodes) + 12 * int(n_tris)) * 4 + 23 * 512
+    return smem_bytes < 900_000
+
+
 @partial(jax.jit, static_argnames=("any_hit",))
 def trace_packets(meta: Array, aabb: Array, tverts: Array,
                   orig: Array, d: Array, t_max: Array,
                   any_hit: bool = False) -> tuple[Array, Array]:
     """Packet traversal over N rays (padded to a multiple of PACKET).
 
-    meta: (3, n_nodes) int32 [skip; first_tri; tri_count]
+    meta: (5, n_nodes) int32 [first_tri; tri_count; right_child; axis; left_low]
     aabb: (6, n_nodes) f32  [amin; amax]
     tverts: (12, T) f32     [n; n.p0; T1; t1w; T2; t2w] (precomputed constants)
     (transposed row-major: SMEM pads each *row* to 512 B, so the scalar
@@ -191,7 +199,7 @@ def trace_packets(meta: Array, aabb: Array, tverts: Array,
     smem_bytes = (meta.size + aabb.size + tverts.size) * 4 + 18 * 512
     assert smem_bytes < 900_000, (
         f"scene scalar tables ({smem_bytes}B) exceed the SMEM budget; "
-        "tier triangles to VMEM for scenes this large")
+        "callers should check scene_fits_smem() and use the XLA wavefront")
     n_pad = (n + PACKET - 1) // PACKET * PACKET
     pad = n_pad - n
 
