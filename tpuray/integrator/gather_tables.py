@@ -203,9 +203,11 @@ class PackedScene(NamedTuple):
     mat_table: Array     # (M, 32)
     light_table: Array   # (L, 8)
     tex_q: Array | None  # (O, H, W, 20) combined PBR map
+    env_nee_t: Array     # (H, W, 8) one-gather NEE rows [L, radiance, pdf, 0]
 
 
 def pack_scene_tables(scene: Scene) -> PackedScene:
+    from tpuray.sampling.envmap import pack_env_nee_table
     return PackedScene(
         tri_table=pack_tri_table(scene.triangles),
         env_image_q=quad_pack_image(scene.envmap.image),
@@ -214,4 +216,5 @@ def pack_scene_tables(scene: Scene) -> PackedScene:
         light_table=pack_lights(scene.lights),
         tex_q=(pack_texture_stack(scene.textures.data)
                if scene.textures is not None else None),
+        env_nee_t=pack_env_nee_table(scene.envmap.image, scene.envmap.cache),
     )

@@ -183,12 +183,15 @@ def _env_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array,
     path_tracing.frag:922-946). Returns (contribution, pdf).
 
     tile_repeat > 1: r1/r2 are per-TILE randoms (tile-coherent sampling);
-    the envmap cache/pdf/radiance lookups — full-frame gathers otherwise,
-    ~30-90 ms each on TPU — run at tile granularity (N/tile_repeat rows)
-    and broadcast; only the shadow rays stay per-pixel."""
-    l_t = env.sample_env_packed(pk.env_cache_q, r1, r2)
-    radiance_t = env.env_radiance_packed(pk.env_image_q, l_t)
-    p_t = env.env_pdf_packed(pk.env_cache_q, l_t)
+    the envmap lookup — a full-frame gather otherwise — runs at tile
+    granularity (N/tile_repeat rows) and broadcasts; only the shadow rays
+    stay per-pixel.
+
+    (direction, radiance, pdf) come from ONE row gather of the precomputed
+    NEE table (sampling.envmap.pack_env_nee_table) instead of three separate
+    cache/image/cache gathers — full-frame gathers cost ~10 ms each at
+    800x800 on TPU, so this is a large share of the frame."""
+    l_t, radiance_t, p_t = env.sample_env_nee(pk.env_nee_t, r1, r2)
     if tile_repeat > 1:
         l = jnp.repeat(l_t, tile_repeat, axis=0)
         radiance = jnp.repeat(radiance_t, tile_repeat, axis=0)

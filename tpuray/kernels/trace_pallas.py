@@ -278,8 +278,12 @@ def pack_scene(bvh: BVHSoA, tri: TriangleSoA) -> tuple[Array, Array, Array]:
     left_low = (jnp.take_along_axis(lc, axis[:, None], 1)
                 <= jnp.take_along_axis(rc, axis[:, None], 1))[:, 0].astype(jnp.int32)
     if not isinstance(skip, jax.core.Tracer):
-        # stack bound: DFS max live stack (only checkable on concrete trees)
-        cnt_np, right_np = np.asarray(count), np.asarray(right)
+        # stack bound: DFS max live stack (only checkable on concrete trees;
+        # recomputed in pure numpy — `right` above is a tracer under jit
+        # even when the tree itself is a closure constant)
+        skip_np, cnt_np = np.asarray(skip), np.asarray(count)
+        lidx = np.minimum(np.arange(n_nodes) + 1, n_nodes - 1)
+        right_np = np.where(cnt_np == 0, skip_np[lidx], 0)
         stack, max_sp = [0], 1
         while stack:
             nd = stack.pop()

@@ -159,3 +159,46 @@ def env_pdf_packed(qcache: Array, d: Array,
     wh = np.float32(qcache.shape[0] * qcache.shape[1])
     convert = wh / (2.0 * PI * PI * jac)
     return pdf * convert
+
+
+# --------------------------------------------------------------------------
+# One-gather NEE table: the envmap NEE consumer needs (direction, radiance,
+# pdf) for a stratified (xi1, xi2) — three full-frame gathers when done as
+# cache + image + cache lookups (sample/radiance/pdf above). Since the
+# sampled direction is a pure function of the cache texel, all three can be
+# precomputed per texel and fetched with ONE row gather. Sampling is
+# nearest-texel (the discrete inverse-CDF), which makes the packed
+# (radiance, pdf) exact for the returned direction — unlike the reference's
+# bilinear blend of inverse-CDF coordinates (path_tracing.frag:790), whose
+# pdf lookup is only approximately consistent with its sample.
+# --------------------------------------------------------------------------
+
+def pack_env_nee_table(image: Array, cache: Array) -> Array:
+    """(H, W, 8) rows: [Lx, Ly, Lz, Rr, Rg, Rb, pdf_omega, 0]."""
+    sx = cache[..., 0]
+    sy = cache[..., 1]
+    x = sx
+    y = 1.0 - sy
+    phi = 2.0 * PI * (x - 0.5)
+    theta = PI * (y - 0.5)
+    ct = jnp.cos(theta)
+    l = jnp.stack([ct * jnp.cos(phi), jnp.sin(theta), ct * jnp.sin(phi)],
+                  axis=-1)
+    rad = env_radiance(image, l)
+    pdf = env_pdf(cache, l, 0)
+    out = jnp.concatenate([l, rad, pdf[..., None],
+                           jnp.zeros_like(pdf)[..., None]], axis=-1)
+    return out.astype(jnp.float32)
+
+
+def sample_env_nee(table: Array, xi1: Array, xi2: Array
+                   ) -> tuple[Array, Array, Array]:
+    """One gather -> (direction (...,3), radiance (...,3), pdf (...,)).
+
+    Nearest-texel inverse-CDF draw: texel k covers xi in [k/N, (k+1)/N).
+    xi1 indexes width, xi2 height (same convention as sample_env)."""
+    h, w = table.shape[0], table.shape[1]
+    cx = jnp.clip((xi1 * w).astype(jnp.int32), 0, w - 1)
+    cy = jnp.clip((xi2 * h).astype(jnp.int32), 0, h - 1)
+    row = table.reshape(h * w, 8)[cy * w + cx]
+    return row[..., 0:3], row[..., 3:6], row[..., 6]
