@@ -55,7 +55,9 @@ def main() -> None:
         meta, aabb, tverts = jax.device_put(
             tp.pack_scene(scene.bvh, scene.triangles))
         tm = jnp.full((n_rays,), tp.INF)
-        fn = jax.jit(lambda o, d: tp.trace_packets(meta, aabb, tverts, o, d, tm))
+        # camera primaries share one origin -> scalar-core origin hoist
+        fn = jax.jit(lambda o, d: tp.trace_packets(
+            meta, aabb, tverts, o, d, tm, common_origin=True))
 
     t, idx = fn(o, d)
     _ = np.asarray(t[:1])  # compile + warmup (host transfer: the axon

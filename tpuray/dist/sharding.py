@@ -74,7 +74,7 @@ def render_tiled(scene: Scene, camera: Camera, cfg: RenderConfig,
             d = dirs_t.reshape(n, 3)
             o = jnp.broadcast_to(eye, (n, 3))
             pt = trace_paths(scene, o, d, px_t.reshape(n), py_t.reshape(n),
-                             frame, cfg)
+                             frame, cfg, common_origin=True)
             return (pt.color.reshape(rows, width, 3),
                     pt.emission.reshape(rows, width, 3),
                     pt.albedo.reshape(rows, width, 3))

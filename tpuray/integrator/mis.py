@@ -30,7 +30,8 @@ def mis_mix_weight(a: Array, b: Array) -> Array:
 
 
 def trace_paths_mis(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
-                    frame, cfg: RenderConfig) -> "pt.PTOutput":
+                    frame, cfg: RenderConfig,
+                    common_origin: bool = False) -> "pt.PTOutput":
     n = orig.shape[0]
     pk = pt.pack_scene_tables(scene)
 
@@ -67,7 +68,8 @@ def trace_paths_mis(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
     normal0 = jnp.zeros((n, 3), jnp.float32)
 
     for bounce in range(cfg.max_tracing_depth):
-        t, idx = pt.trace(scene.bvh, scene.triangles, orig, d)
+        t, idx = pt.trace(scene.bvh, scene.triangles, orig, d,
+                          common_origin=common_origin and bounce == 0)
         hit = pt.resolve_hit(scene, orig, d, t, idx, cfg, pk)
 
         if bounce == 0:

@@ -57,11 +57,12 @@ def _use_pallas() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def trace(bvh, tri, orig, d, t_max=INF, any_hit=False):
+def trace(bvh, tri, orig, d, t_max=INF, any_hit=False, common_origin=False):
     if _use_pallas():
         from tpuray.kernels.trace_pallas import scene_fits_smem, trace_pallas
         if scene_fits_smem(bvh.count, tri.count):
-            return trace_pallas(bvh, tri, orig, d, t_max=t_max, any_hit=any_hit)
+            return trace_pallas(bvh, tri, orig, d, t_max=t_max, any_hit=any_hit,
+                                common_origin=common_origin)
         # scene scalar tables exceed the SMEM budget: fall back to the XLA
         # wavefront (correct for any size, slower) rather than failing
     return trace_xla(bvh, tri, orig, d, t_max=t_max, any_hit=any_hit)
@@ -257,15 +258,20 @@ class PTOutput(NamedTuple):
 
 
 def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
-                frame: Array | int, cfg: RenderConfig) -> PTOutput:
+                frame: Array | int, cfg: RenderConfig,
+                common_origin: bool = False) -> PTOutput:
     """One sample per ray, up to cfg.max_tracing_depth bounces.
 
     orig/d: (N, 3); px/py: (N,) integer *global* pixel coords (RNG seeds —
     global so image tiles shard without changing the picture); frame: scalar.
+    common_origin: caller asserts all rays share one origin (pinhole-camera
+    primaries) — lets the bounce-0 packet kernel hoist the origin to the
+    scalar core (bit-identical output).
     """
     if cfg.integrator == "mis":
         from tpuray.integrator.mis import trace_paths_mis
-        return trace_paths_mis(scene, orig, d, px, py, frame, cfg)
+        return trace_paths_mis(scene, orig, d, px, py, frame, cfg,
+                               common_origin=common_origin)
     n = orig.shape[0]
     pk = pack_scene_tables(scene)  # wide-gather tables (cheap reshuffles)
 
@@ -306,7 +312,8 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
     normal0 = jnp.zeros((n, 3), jnp.float32)
 
     for bounce in range(cfg.max_tracing_depth):
-        t, idx = trace(scene.bvh, scene.triangles, orig, d)
+        t, idx = trace(scene.bvh, scene.triangles, orig, d,
+                       common_origin=common_origin and bounce == 0)
         hit = resolve_hit(scene, orig, d, t, idx, cfg, pk)
 
         if bounce == 0:

@@ -49,8 +49,15 @@ MAX_STACK = 128  # >= 2 * max tree depth; asserted at pack time
 def _kernel(meta_ref, aabb_ref, tverts_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
             t_out, idx_out, t_scr, idx_scr, stack_ref,
-            *, n_nodes: int, any_hit: bool):
-    ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
+            *, n_nodes: int, any_hit: bool, common_origin: bool):
+    if common_origin:
+        # all rays share one origin (pinhole-camera primaries): hoist it to
+        # the scalar core so the slab diffs and the triangle-plane offset
+        # n.o become scalar ops — per-element float math is identical to
+        # the vector path, so oracle bit-parity is preserved
+        ox, oy, oz = ox_ref[0, 0], oy_ref[0, 0], oz_ref[0, 0]
+    else:
+        ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
     dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
     tmax = tmax_ref[...]
 
@@ -99,23 +106,14 @@ def _kernel(meta_ref, aabb_ref, tverts_ref,
     sy = jnp.sum(dy)
     sz = jnp.sum(dz)
 
-    def body(sp):
-        sp = sp - 1
-        node = stack_ref[sp]
-        t = t_scr[...]
-        idx = idx_scr[...]
+    def slab(node):
+        """AABB slab test of one node against the packet -> hit mask."""
         amin_x = aabb_ref[0, node]
         amin_y = aabb_ref[1, node]
         amin_z = aabb_ref[2, node]
         amax_x = aabb_ref[3, node]
         amax_y = aabb_ref[4, node]
         amax_z = aabb_ref[5, node]
-        first = meta_ref[0, node]
-        count = meta_ref[1, node]
-        right = meta_ref[2, node]
-        axis = meta_ref[3, node]
-        left_low = meta_ref[4, node]
-
         f0 = (amax_x - ox) * inv_dx
         n0 = (amin_x - ox) * inv_dx
         f1 = (amax_y - oy) * inv_dy
@@ -126,15 +124,17 @@ def _kernel(meta_ref, aabb_ref, tverts_ref,
                          jnp.minimum(jnp.maximum(f1, n1), jnp.maximum(f2, n2)))
         t0 = jnp.maximum(jnp.minimum(f0, n0),
                          jnp.maximum(jnp.minimum(f1, n1), jnp.minimum(f2, n2)))
+        t = t_scr[...]
         limit = jnp.minimum(t, tmax)
         if any_hit:
-            active = idx < 0
+            active = idx_scr[...] < 0
         else:
             active = jnp.ones_like(t, dtype=bool)
-        hit = ((t1 >= jnp.maximum(t0, 0.0)) & (t0 < limit) & (t1 > 0.0) & active)
+        return ((t1 >= jnp.maximum(t0, 0.0)) & (t0 < limit) & (t1 > 0.0)
+                & active)
 
-        entered = jnp.any(hit)
-        # leaf scan: trip count 0 for inner nodes or unentered subtrees
+    def visit(node, hit, entered, count, first):
+        """Leaf triangle scan for an entered node (0 trips for inner)."""
         n_tris = jnp.where(entered, count, 0)
 
         def leaf_body(j, c):
@@ -142,32 +142,68 @@ def _kernel(meta_ref, aabb_ref, tverts_ref,
 
         jax.lax.fori_loop(0, n_tris, leaf_body, 0)
 
-        # inner & entered: push far then near (near popped first)
+    def body(sp):
+        # pop one *entered inner* node; test both children together so the
+        # two slab tests + any() reductions pipeline and the scalar pop /
+        # loop overhead is paid once per pair of tested nodes
+        sp = sp - 1
+        node = stack_ref[sp]
+        left = node + 1
+        right = meta_ref[2, node]
+        axis = meta_ref[3, node]
+        left_low = meta_ref[4, node]
+
+        hit_l = slab(left)
+        hit_r = slab(right)
+        ent_l = jnp.any(hit_l)
+        ent_r = jnp.any(hit_r)
+        count_l = meta_ref[1, left]
+        count_r = meta_ref[1, right]
+
+        # leaf children scan inline (order vs. pushed subtrees is relaxed —
+        # min-t accumulation is order independent)
+        visit(left, hit_l, ent_l, count_l, meta_ref[0, left])
+        visit(right, hit_r, ent_r, count_r, meta_ref[0, right])
+
+        # push entered *inner* children, far below near (near popped first)
         dpos = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz)) > 0
         near_is_left = dpos == (left_low == 1)
-        left = node + 1
-        near = jnp.where(near_is_left, left, right)
-        far = jnp.where(near_is_left, right, left)
-        push = entered & (count == 0)
+        push_l = ent_l & (count_l == 0)
+        push_r = ent_r & (count_r == 0)
+        far_node = jnp.where(near_is_left, right, left)
+        near_node = jnp.where(near_is_left, left, right)
+        push_far = jnp.where(near_is_left, push_r, push_l)
+        push_near = jnp.where(near_is_left, push_l, push_r)
 
-        @pl.when(push)
+        @pl.when(push_far)
         def _():
-            stack_ref[sp] = far
-            stack_ref[sp + 1] = near
+            stack_ref[sp] = far_node
 
-        sp = jnp.where(push, sp + 2, sp)
+        sp1 = sp + push_far.astype(jnp.int32)
+
+        @pl.when(push_near)
+        def _():
+            stack_ref[sp1] = near_node
+
+        sp1 = sp1 + push_near.astype(jnp.int32)
         if any_hit:
             # all rays found their hit -> stop the walk
-            sp = jnp.where(jnp.all(idx_scr[...] >= 0), 0, sp)
-        return sp
+            sp1 = jnp.where(jnp.all(idx_scr[...] >= 0), 0, sp1)
+        return sp1
 
     t_scr[...] = jnp.full((PACKET_ROWS, PACKET_LANES), INF, jnp.float32)
     idx_scr[...] = jnp.full((PACKET_ROWS, PACKET_LANES), -1, jnp.int32)
-    # near-first ordered DFS with a *scalar* stack in SMEM; the while carry
-    # is the stack pointer only (Mosaic mishandles large vector carries in
-    # while_loop) — vector state lives in VMEM scratch.
+    # bootstrap: test the root (node 0) itself once, then run the paired
+    # children walk. Near-first ordered DFS with a *scalar* stack in SMEM;
+    # the while carry is the stack pointer only (Mosaic mishandles large
+    # vector carries in while_loop) — vector state lives in VMEM scratch.
+    root_hit = slab(0)
+    root_entered = jnp.any(root_hit)
+    root_count = meta_ref[1, 0]
+    visit(0, root_hit, root_entered, root_count, meta_ref[0, 0])
     stack_ref[0] = jnp.int32(0)
-    jax.lax.while_loop(lambda sp: sp > 0, body, jnp.int32(1))
+    sp0 = jnp.where(root_entered & (root_count == 0), 1, 0).astype(jnp.int32)
+    jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
     t_out[...] = t_scr[...]
     idx_out[...] = idx_scr[...]
 
@@ -180,10 +216,11 @@ def scene_fits_smem(n_nodes: int, n_tris: int) -> bool:
     return smem_bytes < 900_000
 
 
-@partial(jax.jit, static_argnames=("any_hit",))
+@partial(jax.jit, static_argnames=("any_hit", "common_origin"))
 def trace_packets(meta: Array, aabb: Array, tverts: Array,
                   orig: Array, d: Array, t_max: Array,
-                  any_hit: bool = False) -> tuple[Array, Array]:
+                  any_hit: bool = False,
+                  common_origin: bool = False) -> tuple[Array, Array]:
     """Packet traversal over N rays (padded to a multiple of PACKET).
 
     meta: (5, n_nodes) int32 [first_tri; tri_count; right_child; axis; left_low]
@@ -238,7 +275,8 @@ def trace_packets(meta: Array, aabb: Array, tverts: Array,
         ],
     )
 
-    kernel = functools.partial(_kernel, n_nodes=n_nodes, any_hit=any_hit)
+    kernel = functools.partial(_kernel, n_nodes=n_nodes, any_hit=any_hit,
+                               common_origin=common_origin)
     t, idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -301,10 +339,15 @@ def pack_scene(bvh: BVHSoA, tri: TriangleSoA) -> tuple[Array, Array, Array]:
 
 
 def trace_pallas(bvh: BVHSoA, tri: TriangleSoA, orig: Array, d: Array,
-                 t_max: Array | float = INF, any_hit: bool = False
-                 ) -> tuple[Array, Array]:
-    """Drop-in replacement for tpuray.integrator.intersect.trace."""
+                 t_max: Array | float = INF, any_hit: bool = False,
+                 common_origin: bool = False) -> tuple[Array, Array]:
+    """Drop-in replacement for tpuray.integrator.intersect.trace.
+
+    common_origin: caller asserts every ray shares one origin (camera
+    primaries) — hoists the origin onto the scalar core; bit-identical
+    results, fewer VPU ops per node/triangle."""
     meta, aabb, tverts = pack_scene(bvh, tri)
     n = orig.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    return trace_packets(meta, aabb, tverts, orig, d, t_max, any_hit)
+    return trace_packets(meta, aabb, tverts, orig, d, t_max, any_hit,
+                         common_origin=common_origin)

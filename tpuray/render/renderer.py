@@ -65,7 +65,8 @@ def render_frame(scene: Scene, camera: Camera, state: FrameState,
     px = xx
     py = height - 1 - yy  # GL frag coords are bottom-up
 
-    pt = trace_paths(scene, orig, d, px, py, frame.astype(jnp.uint32), cfg)
+    pt = trace_paths(scene, orig, d, px, py, frame.astype(jnp.uint32), cfg,
+                     common_origin=True)
 
     color = untile(pt.color, height, width)
     emission = untile(pt.emission, height, width)

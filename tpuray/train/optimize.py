@@ -55,7 +55,7 @@ def render_flat(scene: Scene, camera: Camera, cfg: RenderConfig,
     pt = trace_paths(
         scene, jnp.broadcast_to(camera.eye, (n, 3)), dirs.reshape(n, 3),
         xx.reshape(n), (height - 1 - yy).reshape(n),
-        jnp.asarray(frame, jnp.uint32), cfg)
+        jnp.asarray(frame, jnp.uint32), cfg, common_origin=True)
     return pt.color.reshape(height, width, 3)
 
 
