@@ -44,6 +44,7 @@ PACKET = PACKET_ROWS * PACKET_LANES  # rays per packet (= two 32x32 tiles)
 
 
 MAX_STACK = 128  # >= 2 * max tree depth; asserted at pack time
+MAX_LEAF = 8     # builder leaf size (accel/bvh.py); asserted at pack time
 
 
 def _kernel(meta_ref, aabb_ref, tverts_ref,
@@ -66,38 +67,6 @@ def _kernel(meta_ref, aabb_ref, tverts_ref,
         return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
 
     inv_dx, inv_dy, inv_dz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
-
-    def tri_test(ti, _, entered_mask):
-        """Test triangle ti (scalar) against the whole packet.
-
-        Precomputed plane + barycentric-transform predicate — op order
-        mirrors integrator.intersect.ray_triangle_pre exactly so the
-        kernel and the XLA oracle agree bit-for-bit."""
-        t = t_scr[...]
-        idx = idx_scr[...]
-        nx = tverts_ref[0, ti]
-        ny = tverts_ref[1, ti]
-        nz = tverts_ref[2, ti]
-        np0 = tverts_ref[3, ti]
-        ndotd = nx * dx + ny * dy + nz * dz          # (R, L)
-        ndoto = nx * ox + ny * oy + nz * oz
-        invalid = jnp.abs(ndotd) < PARALLEL_EPS
-        denom = jnp.where(invalid, np.float32(1.0), ndotd)
-        t_hit = (np0 - ndoto) / denom
-        px = ox + dx * t_hit
-        py = oy + dy * t_hit
-        pz = oz + dz * t_hit
-        u = (tverts_ref[4, ti] * px + tverts_ref[5, ti] * py
-             + tverts_ref[6, ti] * pz + tverts_ref[7, ti])
-        v = (tverts_ref[8, ti] * px + tverts_ref[9, ti] * py
-             + tverts_ref[10, ti] * pz + tverts_ref[11, ti])
-        in_tri = (u > 0) & (v > 0) & (u + v < 1)
-
-        hit = (jnp.logical_not(invalid) & (t_hit >= T_MIN) & in_tri
-               & entered_mask & (t_hit < t) & (t_hit < tmax))
-        t_scr[...] = jnp.where(hit, t_hit, t)
-        idx_scr[...] = jnp.where(hit, ti, idx)
-        return 0
 
     # dominant packet direction (scalars, once per packet) for near-first
     # child ordering — the TPU analogue of the reference's per-ray distance
@@ -134,20 +103,50 @@ def _kernel(meta_ref, aabb_ref, tverts_ref,
                 & active)
 
     def visit(node, hit, entered, count, first):
-        """Leaf triangle scan for an entered node (0 trips for inner)."""
-        n_tris = jnp.where(entered, count, 0)
+        """Leaf triangle scan for an entered node (no-op for inner nodes).
 
-        def leaf_body(j, c):
-            return tri_test(first + j, c, hit)
+        Fully unrolled to MAX_LEAF straight-line masked tests with register
+        accumulation: the j-th test is independent of the others except for
+        the cheap running-min merge, so the VPU pipelines all of them and
+        t/idx round-trip VMEM once per leaf instead of once per triangle.
+        Out-of-range slots clamp to the last triangle and are masked
+        (idempotent: strict t_hit < t keeps the first winner)."""
 
-        jax.lax.fori_loop(0, n_tris, leaf_body, 0)
+        @pl.when(entered & (count > 0))
+        def _():
+            t = t_scr[...]
+            idx = idx_scr[...]
+            for j in range(MAX_LEAF):
+                ti = first + jnp.minimum(jnp.int32(j), count - 1)
+                nx = tverts_ref[0, ti]
+                ny = tverts_ref[1, ti]
+                nz = tverts_ref[2, ti]
+                np0 = tverts_ref[3, ti]
+                ndotd = nx * dx + ny * dy + nz * dz
+                ndoto = nx * ox + ny * oy + nz * oz
+                invalid = jnp.abs(ndotd) < PARALLEL_EPS
+                denom = jnp.where(invalid, np.float32(1.0), ndotd)
+                t_hit = (np0 - ndoto) / denom
+                px = ox + dx * t_hit
+                py = oy + dy * t_hit
+                pz = oz + dz * t_hit
+                u = (tverts_ref[4, ti] * px + tverts_ref[5, ti] * py
+                     + tverts_ref[6, ti] * pz + tverts_ref[7, ti])
+                v = (tverts_ref[8, ti] * px + tverts_ref[9, ti] * py
+                     + tverts_ref[10, ti] * pz + tverts_ref[11, ti])
+                in_tri = (u > 0) & (v > 0) & (u + v < 1)
+                ok = (jnp.logical_not(invalid) & (t_hit >= T_MIN) & in_tri
+                      & hit & (j < count) & (t_hit < t) & (t_hit < tmax))
+                t = jnp.where(ok, t_hit, t)
+                idx = jnp.where(ok, ti, idx)
+            t_scr[...] = t
+            idx_scr[...] = idx
 
-    def body(sp):
-        # pop one *entered inner* node; test both children together so the
-        # two slab tests + any() reductions pipeline and the scalar pop /
-        # loop overhead is paid once per pair of tested nodes
-        sp = sp - 1
-        node = stack_ref[sp]
+    def expand(node, live, sp):
+        """Test both children of an entered inner node, scan leaf children
+        inline, push entered inner children (far below near). The two slab
+        tests + any() reductions are independent and pipeline on the VPU
+        while the scalar core stages the next loads."""
         left = node + 1
         right = meta_ref[2, node]
         axis = meta_ref[3, node]
@@ -155,8 +154,8 @@ def _kernel(meta_ref, aabb_ref, tverts_ref,
 
         hit_l = slab(left)
         hit_r = slab(right)
-        ent_l = jnp.any(hit_l)
-        ent_r = jnp.any(hit_r)
+        ent_l = jnp.any(hit_l) & live
+        ent_r = jnp.any(hit_r) & live
         count_l = meta_ref[1, left]
         count_r = meta_ref[1, right]
 
@@ -179,17 +178,25 @@ def _kernel(meta_ref, aabb_ref, tverts_ref,
         def _():
             stack_ref[sp] = far_node
 
-        sp1 = sp + push_far.astype(jnp.int32)
+        sp = sp + push_far.astype(jnp.int32)
 
         @pl.when(push_near)
         def _():
-            stack_ref[sp1] = near_node
+            stack_ref[sp] = near_node
 
-        sp1 = sp1 + push_near.astype(jnp.int32)
+        return sp + push_near.astype(jnp.int32)
+
+    def body(sp):
+        # pop ONE entered inner node per iteration. (Popping two and
+        # expanding both was benched: the relaxed near-first order costs
+        # more node visits than the extra ILP buys back.)
+        sp = sp - 1
+        node = stack_ref[sp]
+        sp = expand(node, True, sp)
         if any_hit:
             # all rays found their hit -> stop the walk
-            sp1 = jnp.where(jnp.all(idx_scr[...] >= 0), 0, sp1)
-        return sp1
+            sp = jnp.where(jnp.all(idx_scr[...] >= 0), 0, sp)
+        return sp
 
     t_scr[...] = jnp.full((PACKET_ROWS, PACKET_LANES), INF, jnp.float32)
     idx_scr[...] = jnp.full((PACKET_ROWS, PACKET_LANES), -1, jnp.int32)
@@ -320,6 +327,8 @@ def pack_scene(bvh: BVHSoA, tri: TriangleSoA) -> tuple[Array, Array, Array]:
         # recomputed in pure numpy — `right` above is a tracer under jit
         # even when the tree itself is a closure constant)
         skip_np, cnt_np = np.asarray(skip), np.asarray(count)
+        assert cnt_np.max() <= MAX_LEAF, (
+            f"leaf count {cnt_np.max()} > MAX_LEAF={MAX_LEAF}")
         lidx = np.minimum(np.arange(n_nodes) + 1, n_nodes - 1)
         right_np = np.where(cnt_np == 0, skip_np[lidx], 0)
         stack, max_sp = [0], 1
