@@ -1,0 +1,129 @@
+"""Ablation: split frame time into traversal / shading / SVGF-reproject.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/exp_ablate.py [size]
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+from tpuray.utils.platform import enable_compile_cache
+
+enable_compile_cache()
+
+import jax
+import jax.numpy as jnp
+
+
+def timed(fn, iters=8, trials=2):
+    out = fn()
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def main():
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 800
+
+    from tpuray.scene.builder import reference_default_scene
+    from tpuray.scene.camera import OrbitCamera
+    from tpuray.scene.config import RenderConfig
+    from tpuray.render.tiling import tile_pixel_coords
+    from tpuray.integrator import path_tracer as ptm
+    from tpuray.kernels import trace_pallas as tp
+
+    scene = reference_default_scene()
+    cfg = RenderConfig(width=size, height=size)
+    cam = OrbitCamera(width=size, height=size).snapshot()
+    h = w = size
+
+    xx, yy = tile_pixel_coords(h, w)
+    n = int(xx.shape[0])
+    xs = (2.0 * (xx.astype(jnp.float32) + 0.5) / w - 1.0) * cam.tan_half_fov
+    ys = -(2.0 * (yy.astype(jnp.float32) + 0.5) / h - 1.0) * cam.tan_half_fov
+    d_cam = jnp.stack([xs, ys, -jnp.ones_like(xs)], axis=-1)
+    d = jnp.einsum("ij,nj->ni", cam.cam_to_world, d_cam)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(cam.eye, (n, 3))
+
+    # 1. full trace_paths
+    f_full = jax.jit(lambda o, d: ptm.trace_paths(
+        scene, o, d, xx, yy, 3, cfg, common_origin=True))
+    ms = timed(lambda: f_full(o, d)) * 1e3
+    print(json.dumps({"stage": "trace_paths_full", "ms": round(ms, 2)}), flush=True)
+
+    # 2. traversal-only: the 6 trace calls the frame makes, realistic rays
+    meta, aabb, tverts = jax.device_put(tp.pack_scene(scene.bvh, scene.triangles))
+    tm = jnp.full((n,), tp.INF)
+
+    def six_traces(o, d):
+        t, idx = tp.trace_packets(meta, aabb, tverts, o, d, tm, common_origin=True)
+        outs = [t]
+        # fake bounce origin/dirs derived from the hit (same data deps)
+        p = o + d * jnp.minimum(t, 10.0)[..., None]
+        for k in range(5):
+            dk = jnp.roll(d, k + 1, axis=0)
+            tk, ik = tp.trace_packets(meta, aabb, tverts, p, dk, tm,
+                                      any_hit=(k % 3 != 0))
+            outs.append(tk)
+        return outs
+
+    f_tr = jax.jit(six_traces)
+    ms = timed(lambda: f_tr(o, d)) * 1e3
+    print(json.dumps({"stage": "six_traversals", "ms": round(ms, 2)}), flush=True)
+
+    # 3. shading-only: stub out trace with a cheap fake
+    real_trace = ptm.trace
+    t_ref, idx_ref = tp.trace_packets(meta, aabb, tverts, o, d, tm,
+                                      common_origin=True)
+    t_ref = jax.device_put(t_ref)
+    idx_ref = jax.device_put(idx_ref)
+
+    def stub(bvh, tri, orig, dd, t_max=ptm.INF, any_hit=False,
+             common_origin=False):
+        s = jnp.minimum(jnp.abs(orig[:, 0]) + jnp.abs(dd[:, 0]), 1.0)
+        return t_ref * s, idx_ref
+    ptm.trace = stub
+    try:
+        f_sh = jax.jit(lambda o, d: ptm.trace_paths(
+            scene, o, d, xx, yy, 3, cfg, common_origin=True))
+        ms = timed(lambda: f_sh(o, d)) * 1e3
+        print(json.dumps({"stage": "shading_only", "ms": round(ms, 2)}), flush=True)
+    finally:
+        ptm.trace = real_trace
+
+    # 4. SVGF reproject alone (moving camera)
+    from tpuray.denoise.reproject import reproject
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 16)
+    img3 = lambda k: jax.random.uniform(k, (h, w, 3))
+    img1 = lambda k: jax.random.uniform(k, (h, w))
+    color, emission, albedo = img3(ks[0]), img3(ks[1]) * 0.1, img3(ks[2]) + 0.2
+    motion = (jax.random.uniform(ks[3], (h, w, 2)) - 0.5) * 0.02
+    normal = img3(ks[4]) * 2 - 1
+    normal = normal / jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    lz = img1(ks[5]) * 0.9
+    fwn, fwz = img1(ks[6]) * 0.1, img1(ks[7]) * 0.01
+    p_il, p_var = img3(ks[8]), img1(ks[9])
+    p_n = img3(ks[10]) * 2 - 1
+    p_n = p_n / jnp.linalg.norm(p_n, axis=-1, keepdims=True)
+    p_lz = img1(ks[11]) * 0.9
+    p_mom = jax.random.uniform(ks[12], (h, w, 2))
+    p_hist = jnp.ones((h, w)) * 8
+
+    f_rp = jax.jit(lambda c: reproject(
+        c, emission, albedo, motion, normal, lz, fwn, fwz,
+        p_il, p_var, p_n, p_lz, p_mom, p_hist, cfg))
+    ms = timed(lambda: f_rp(color)) * 1e3
+    print(json.dumps({"stage": "reproject_moving", "ms": round(ms, 2)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
