@@ -6,8 +6,6 @@ import json
 import sys
 import time
 
-import numpy as np
-
 from tpuray.utils.platform import enable_compile_cache
 
 enable_compile_cache()
@@ -59,27 +57,37 @@ def main():
     ms = timed(lambda: f_full(o, d)) * 1e3
     print(json.dumps({"stage": "trace_paths_full", "ms": round(ms, 2)}), flush=True)
 
-    # 2. traversal-only: the 6 trace calls the frame makes, realistic rays
+    # 2. traversal-only: the trace calls one NEE frame makes, realistic rays.
+    # Per bounce the NEE integrator issues 1 closest-hit trace + 2 any-hit
+    # shadow traces (envmap + point light), so the pattern is derived from
+    # cfg.max_tracing_depth instead of hardcoding 6 calls.
+    assert cfg.integrator == "nee", "trace-call pattern below models NEE"
     meta, aabb, tverts = jax.device_put(tp.pack_scene(scene.bvh, scene.triangles))
     tm = jnp.full((n,), tp.INF)
+    n_traces = 3 * cfg.max_tracing_depth
 
-    def six_traces(o, d):
+    def frame_traces(o, d):
         t, idx = tp.trace_packets(meta, aabb, tverts, o, d, tm, common_origin=True)
         outs = [t]
         # fake bounce origin/dirs derived from the hit (same data deps)
         p = o + d * jnp.minimum(t, 10.0)[..., None]
-        for k in range(5):
+        for k in range(n_traces - 1):
             dk = jnp.roll(d, k + 1, axis=0)
             tk, ik = tp.trace_packets(meta, aabb, tverts, p, dk, tm,
                                       any_hit=(k % 3 != 0))
             outs.append(tk)
         return outs
 
-    f_tr = jax.jit(six_traces)
+    f_tr = jax.jit(frame_traces)
     ms = timed(lambda: f_tr(o, d)) * 1e3
-    print(json.dumps({"stage": "six_traversals", "ms": round(ms, 2)}), flush=True)
+    print(json.dumps({"stage": f"{n_traces}_traversals", "ms": round(ms, 2)}),
+          flush=True)
 
-    # 3. shading-only: stub out trace with a cheap fake
+    # 3. shading-only: stub out trace with a cheap fake.
+    # NOTE: this monkeypatch relies on path_tracer and mis calling the
+    # module-global `ptm.trace` (they do; there is no
+    # `from path_tracer import trace` call site). If a direct import ever
+    # appears, this stage silently measures full trace instead.
     real_trace = ptm.trace
     t_ref, idx_ref = tp.trace_packets(meta, aabb, tverts, o, d, tm,
                                       common_origin=True)
