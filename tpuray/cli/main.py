@@ -158,6 +158,20 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    from tpuray.scene.config import RenderConfig
+    from tpuray.viewer.server import ViewerServer
+
+    cfg = (RenderConfig.load(args.config) if args.config else RenderConfig())
+    cfg = cfg.replace(width=args.size, height=args.size,
+                      reference_quirks=args.reference_quirks)
+    scene = _build_scene(args.scene, args.reference_quirks)
+    server = ViewerServer(scene, cfg, host=args.host, port=args.port)
+    server.start()
+    server.serve_forever()
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
     import pathlib
@@ -213,6 +227,17 @@ def main(argv=None) -> int:
     pa.add_argument("--pitch", type=float, default=10.0)
     pa.add_argument("--radius", type=float, default=2.0)
     pa.set_defaults(fn=cmd_animate)
+
+    pv = sub.add_parser("view", help="interactive browser viewer "
+                        "(the reference's imgui+GLFW surface, over HTTP)")
+    pv.add_argument("--scene", default="procedural",
+                    choices=["reference", "table", "procedural"])
+    pv.add_argument("--size", type=int, default=400)
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.add_argument("--port", type=int, default=8008)
+    pv.add_argument("--config", default=None)
+    pv.add_argument("--reference-quirks", action="store_true")
+    pv.set_defaults(fn=cmd_view)
 
     pb = sub.add_parser("bench", help="run the benchmark")
     pb.set_defaults(fn=cmd_bench)

@@ -24,8 +24,8 @@ def write_bmp(path: str, rgb: np.ndarray) -> None:
     fallback.write_bmp_py(path, rgb)
 
 
-def write_png(path: str, img: np.ndarray) -> None:
-    """img: (H, W, 3) float in [0,1] or uint8."""
+def encode_png(img: np.ndarray, compress_level: int = 6) -> bytes:
+    """img: (H, W, 3) float in [0,1] or uint8 -> PNG byte stream."""
     if img.dtype != np.uint8:
         img = np.clip(np.asarray(img) * 255.0 + 0.5, 0, 255).astype(np.uint8)
     h, w = img.shape[:2]
@@ -36,7 +36,84 @@ def write_png(path: str, img: np.ndarray) -> None:
                 + struct.pack(">I", zlib.crc32(tag + payload)))
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, compress_level))
+            + chunk(b"IEND", b""))
+
+
+def read_png(path: str) -> np.ndarray:
+    """Minimal PNG reader for 8-bit RGB/RGBA/gray (filters 0-4) ->
+    (H, W, 3) float32 in [0,1]. Used by the golden-comparison harness to
+    load the reference's result/*.png renders. Uses PIL when available
+    (baked into this image); the pure-stdlib decoder below is the no-deps
+    fallback."""
+    try:
+        from PIL import Image
+        with Image.open(path) as im:
+            arr = np.asarray(im.convert("RGB"), np.uint8)
+        return arr.astype(np.float32) / 255.0
+    except ImportError:
+        pass
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos, w = 8, 0
+    idat = b""
+    h = bit_depth = color_type = 0
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack(">IIBB", payload[:10])
+            assert bit_depth == 8, f"unsupported bit depth {bit_depth}"
+            assert payload[12] == 0, "interlaced PNG unsupported"
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    img = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1).astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:          # Up
+            cur = (line + prev) & 0xFF
+        else:                     # Sub/Average/Paeth need a left-to-right scan
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:             # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        img[y] = cur.astype(np.uint8)
+        prev = cur
+    img = img.reshape(h, w, nch)
+    if nch == 1:
+        img = np.repeat(img, 3, axis=-1)
+    elif nch == 2:
+        img = np.repeat(img[..., :1], 3, axis=-1)
+    elif nch == 4:
+        img = img[..., :3]
+    return img.astype(np.float32) / 255.0
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """img: (H, W, 3) float in [0,1] or uint8."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(img))
