@@ -42,6 +42,11 @@ def main() -> int:
     ap.add_argument("--size", type=int, default=800)
     ap.add_argument("--out-dir", default="golden_out")
     ap.add_argument("--cpu", action="store_true")
+    # camera pose; defaults are the values recovered from the screenshots
+    # by scripts/fit_golden_pose.py (the captures are not at startup pose)
+    ap.add_argument("--yaw", type=float, default=-12.0)
+    ap.add_argument("--pitch", type=float, default=10.0)
+    ap.add_argument("--radius", type=float, default=1.9)
     args = ap.parse_args()
 
     from tpuray.utils.platform import enable_compile_cache
@@ -63,7 +68,8 @@ def main() -> int:
     cfg = RenderConfig(width=args.size, height=args.size,
                        reference_quirks=True)
     scene = reference_default_scene(reference_quirks=True)
-    cam = OrbitCamera(width=args.size, height=args.size)
+    cam = OrbitCamera(width=args.size, height=args.size, yaw_deg=args.yaw,
+                      pitch_deg=args.pitch, radius=args.radius)
     r = Renderer(scene, cfg)
     t0 = time.time()
     for i in range(args.frames):

@@ -21,8 +21,10 @@ def luminance(img: np.ndarray) -> np.ndarray:
 
 
 def _box(img: np.ndarray, r: int) -> np.ndarray:
-    """(2r+1)^2 box filter via 2D cumsum, edge-padded."""
-    pad = np.pad(img, r, mode="edge")
+    """(2r+1)^2 box filter via 2D cumsum, edge-padded. float64 accumulation:
+    float32 cumsums over megapixel images lose the low bits that the
+    variance subtraction below needs."""
+    pad = np.pad(img.astype(np.float64), r, mode="edge")
     c = pad.cumsum(0).cumsum(1)
     c = np.pad(c, ((1, 0), (1, 0)))
     k = 2 * r + 1
@@ -38,9 +40,12 @@ def ssim(a: np.ndarray, b: np.ndarray, radius: int = 3,
     c1 = (0.01 * dynamic_range) ** 2
     c2 = (0.03 * dynamic_range) ** 2
     mu_a, mu_b = _box(a, radius), _box(b, radius)
-    va = _box(a * a, radius) - mu_a ** 2
-    vb = _box(b * b, radius) - mu_b ** 2
+    # cumsum catastrophic cancellation can push variances slightly negative
+    # (and with them SSIM outside [-1, 1]); clamp
+    va = np.maximum(_box(a * a, radius) - mu_a ** 2, 0.0)
+    vb = np.maximum(_box(b * b, radius) - mu_b ** 2, 0.0)
     cov = _box(a * b, radius) - mu_a * mu_b
+    cov = np.clip(cov, -np.sqrt(va * vb), np.sqrt(va * vb))
     s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)
          / ((mu_a ** 2 + mu_b ** 2 + c1) * (va + vb + c2)))
     return float(s.mean())
