@@ -210,3 +210,53 @@ def test_fast_reproject_matches_exact_for_smooth_motion(rng):
     np.testing.assert_allclose(np.asarray(fast.history_len)[interior],
                                np.asarray(exact.history_len)[interior],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_reproject_matches_exact(rng):
+    """reproject_gather='tiled' (tile-windowed fetch, the TPU default) must
+    equal the exact gather path for smooth motion — including where the
+    bilinear taps fail and the 3x3 rescue engages."""
+    normal, z, fw_n, fw_z = flat_gbuffer(rng)
+    albedo = jnp.full((H, W, 3), 0.5)
+    emission = jnp.zeros((H, W, 3))
+    # constant integer+fraction motion exercises bilinear weights
+    motion = jnp.stack([jnp.full((H, W), 2.25 / W), jnp.full((H, W), 1.5 / H)],
+                       axis=-1)
+    color = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    prev_illum = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    prev_var = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    prev_moments = jnp.asarray(rng.random((H, W, 2)).astype(np.float32))
+    prev_hist = jnp.full((H, W), 5.0)
+    prev_z = z.at[8:16, 8:16].add(5.0)  # force rescue inside a block
+
+    args = dict(color=color, emission=emission, albedo=albedo, motion=motion,
+                normal=normal, linear_z=z, fwidth_normal=fw_n, fwidth_z=fw_z,
+                prev_illum=prev_illum, prev_variance=prev_var,
+                prev_normal=normal, prev_linear_z=prev_z,
+                prev_moments=prev_moments, prev_history_len=prev_hist)
+    exact = reproject(**args, cfg=CFG.replace(reproject_gather="exact"))
+    tiled = reproject(**args, cfg=CFG.replace(reproject_gather="tiled"))
+    interior = np.s_[2:-2, 2:-2]
+    for a, b in zip(tiled, exact):
+        np.testing.assert_allclose(np.asarray(a)[interior],
+                                   np.asarray(b)[interior],
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_tiled_reproject_no_nans_wild_motion(rng):
+    """Wild per-pixel motion: the tiled path must stay finite and behave as
+    'reprojection failed' (history restarts) rather than fetching garbage."""
+    normal, z, fw_n, fw_z = flat_gbuffer(rng)
+    albedo = jnp.full((H, W, 3), 0.5)
+    emission = jnp.zeros((H, W, 3))
+    motion = jnp.asarray((rng.random((H, W, 2)) - 0.5).astype(np.float32))
+    color = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    prev_illum = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    prev_var = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    prev_moments = jnp.asarray(rng.random((H, W, 2)).astype(np.float32))
+    prev_hist = jnp.full((H, W), 5.0)
+    out = reproject(color, emission, albedo, motion, normal, z, fw_n, fw_z,
+                    prev_illum, prev_var, normal, z, prev_moments, prev_hist,
+                    CFG.replace(reproject_gather="tiled"))
+    for a in out:
+        assert np.isfinite(np.asarray(a)).all()

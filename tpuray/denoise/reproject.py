@@ -45,6 +45,27 @@ def _tap_valid(yi, xi, h, w, z_cur, fw_z, n_cur, fw_n, tap, cfg):
     return in_b & depth_ok & normal_ok
 
 
+def _gather_mode(cfg: RenderConfig) -> str:
+    """Resolve the moving-camera history-read strategy.
+
+    'tiled' (default on TPU): tile-windowed fetch (denoise/tile_gather.py),
+    ~90x faster than the gather path at 800x800 on v5e; exact bilinear taps,
+    conservatively-invalidated rescue taps at motion discontinuities.
+    'exact': the per-pixel gather path (CPU default; the oracle).
+    'fast': legacy shift-approximated everything (cfg.fast_reproject).
+    """
+    if cfg.fast_reproject:
+        return "fast"
+    mode = cfg.reproject_gather
+    if mode == "auto":
+        try:
+            on_cpu = jax.default_backend() == "cpu"
+        except RuntimeError:
+            on_cpu = True
+        mode = "exact" if on_cpu else "tiled"
+    return mode
+
+
 def reproject(color: Array, emission: Array, albedo: Array,
               motion: Array, normal: Array, linear_z: Array,
               fwidth_normal: Array, fwidth_z: Array,
@@ -55,6 +76,11 @@ def reproject(color: Array, emission: Array, albedo: Array,
     if static_camera:
         return _reproject_static(
             color, emission, albedo, normal, linear_z, fwidth_normal,
+            fwidth_z, prev_illum, prev_variance, prev_normal, prev_linear_z,
+            prev_moments, prev_history_len, cfg)
+    if _gather_mode(cfg) == "tiled":
+        return _reproject_tiled(
+            color, emission, albedo, motion, normal, linear_z, fwidth_normal,
             fwidth_z, prev_illum, prev_variance, prev_normal, prev_linear_z,
             prev_moments, prev_history_len, cfg)
     h, w = color.shape[:2]
@@ -233,6 +259,109 @@ def _finish(color, illum, prev_i, prev_mo, bilinear_ok, rescue_ok, taps,
 
     return ReprojectOutput(illum=out_illum, variance=variance,
                            moments=moments, history_len=hist)
+
+
+def _reproject_tiled(color, emission, albedo, motion, normal, linear_z,
+                     fwidth_normal, fwidth_z, prev_illum, prev_variance,
+                     prev_normal, prev_linear_z, prev_moments,
+                     prev_history_len, cfg) -> ReprojectOutput:
+    """Moving-camera reprojection through the tile-windowed fetch
+    (denoise/tile_gather.py) instead of per-pixel gathers.
+
+    Semantics vs the exact path: bilinear taps are identical wherever the
+    integer motion varies by <= span inside a tile (everywhere, for camera
+    motion); 3x3 rescue taps are additionally invalidated across >= 1px/px
+    motion-field discontinuities, where reprojection is about to fail its
+    depth/normal tests anyway. ~90x faster on v5e at 800x800.
+    """
+    from tpuray.denoise.history_atlas import split
+    from tpuray.denoise.tile_gather import tiled_taps
+
+    h, w = color.shape[:2]
+    yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    sky = linear_z == 1.0
+
+    atlas = jnp.concatenate([
+        prev_illum, prev_variance[..., None], prev_normal,
+        prev_linear_z[..., None], prev_moments, prev_history_len[..., None],
+    ], axis=-1)
+
+    illum = (color - emission) / jnp.maximum(albedo, 1e-3)
+    illum = jnp.where(jnp.isnan(illum), 0.0, illum)
+
+    uv_x = (xx.astype(jnp.float32) + 0.5) / w - motion[..., 0]
+    uv_y = (yy.astype(jnp.float32) + 0.5) / h - motion[..., 1]
+    fx = uv_x * w - 0.5
+    fy = uv_y * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    if cfg.reference_quirks:
+        frac_x = (uv_x % (1.0 / w))
+        frac_y = (uv_y % (1.0 / h))
+    else:
+        frac_x = fx - x0
+        frac_y = fy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    # all 9 ring offsets; the bilinear quad subset gets exact taps
+    offs = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    raw, resolved = tiled_taps(atlas, y0i, x0i, offs)
+    taps_by_off = {e: split(raw[e]) for e in offs}
+
+    # bilinear accumulation (offset naming here is (dx, dy), matching the
+    # exact path's zip order and weights)
+    weights = {
+        (0, 0): (1 - frac_x) * (1 - frac_y), (1, 0): frac_x * (1 - frac_y),
+        (0, 1): (1 - frac_x) * frac_y, (1, 1): frac_x * frac_y,
+    }
+    sum_w = jnp.zeros((h, w), jnp.float32)
+    acc_illum = jnp.zeros((h, w, 4), jnp.float32)
+    acc_mom = jnp.zeros((h, w, 2), jnp.float32)
+    any_valid = jnp.zeros((h, w), bool)
+    bilinear_taps = []
+    for (dx, dy), wt in weights.items():
+        tap = taps_by_off[(dy, dx)]
+        bilinear_taps.append(tap)
+        v = (resolved[(dy, dx)]
+             & _tap_valid(y0i + dy, x0i + dx, h, w, linear_z, fwidth_z,
+                          normal, fwidth_normal, tap, cfg))
+        any_valid = any_valid | v
+        wv = jnp.where(v, wt, 0.0)
+        sum_w = sum_w + wv
+        illum_var = jnp.concatenate([tap["illum"], tap["variance"][..., None]], -1)
+        acc_illum = acc_illum + wv[..., None] * illum_var
+        acc_mom = acc_mom + wv[..., None] * tap["moments"]
+
+    bilinear_ok = any_valid & (sum_w >= 0.01)
+    safe_w = jnp.maximum(sum_w, 1e-6)
+    prev_i = jnp.where(bilinear_ok[..., None], acc_illum / safe_w[..., None], 0.0)
+    prev_mo = jnp.where(bilinear_ok[..., None], acc_mom / safe_w[..., None], 0.0)
+
+    # 3x3 rescue
+    n_valid = jnp.zeros((h, w), jnp.float32)
+    r_illum = jnp.zeros((h, w, 4), jnp.float32)
+    r_mom = jnp.zeros((h, w, 2), jnp.float32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            tap = taps_by_off[(dy, dx)]
+            v = (resolved[(dy, dx)]
+                 & _tap_valid(y0i + dy, x0i + dx, h, w, linear_z, fwidth_z,
+                              normal, fwidth_normal, tap, cfg))
+            vf = v.astype(jnp.float32)
+            n_valid = n_valid + vf
+            illum_var = jnp.concatenate(
+                [tap["illum"], tap["variance"][..., None]], -1)
+            r_illum = r_illum + vf[..., None] * illum_var
+            r_mom = r_mom + vf[..., None] * tap["moments"]
+    rescue_ok = (~bilinear_ok) & (n_valid > 0)
+    safe_n = jnp.maximum(n_valid, 1.0)
+    prev_i = jnp.where(rescue_ok[..., None], r_illum / safe_n[..., None], prev_i)
+    prev_mo = jnp.where(rescue_ok[..., None], r_mom / safe_n[..., None], prev_mo)
+
+    return _finish(color, illum, prev_i, prev_mo, bilinear_ok, rescue_ok,
+                   bilinear_taps, fx, fy, x0i, y0i, sky, prev_moments,
+                   prev_history_len, linear_z, cfg, h, w)
 
 
 def _reproject_static(color, emission, albedo, normal, linear_z,

@@ -25,9 +25,11 @@ Array = jax.Array
 
 
 def _on_tpu() -> bool:
-    """Trace-time backend check: the Pallas stencils are TPU-only."""
+    """Trace-time backend check: the Pallas stencils are TPU-only.
+    NB: this container's TPU backend is named 'axon', not 'tpu' — match the
+    non-CPU check used by the trace-kernel gate (path_tracer._use_pallas)."""
     try:
-        return jax.default_backend() == "tpu"
+        return jax.default_backend() not in ("cpu",)
     except RuntimeError:
         return False
 

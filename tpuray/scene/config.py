@@ -65,11 +65,19 @@ class RenderConfig:
     # implementation. Ignored off-TPU.
     pallas_denoise: bool = True
 
-    # TPU throughput mode for the moving-camera reprojection: derive the 3x3
-    # disocclusion-rescue taps from static shifts of the one bilinear quad
-    # gather instead of 4 more full-frame gathers (~40 ms each). Exact
-    # wherever the motion field is locally smooth; differs only across
-    # motion discontinuities. Off = reference tap-exact semantics.
+    # moving-camera history-read strategy (denoise/reproject.py):
+    #  "auto"  -> "tiled" on TPU, "exact" on CPU
+    #  "tiled" -> tile-windowed fetch (denoise/tile_gather.py): ~90x faster
+    #             than the gather path on v5e; bilinear taps exact wherever
+    #             the integer motion varies <= span per tile (always, for
+    #             camera motion), rescue taps conservatively invalidated
+    #             across motion discontinuities
+    #  "exact" -> per-pixel gathers, reference tap-exact semantics (oracle)
+    reproject_gather: str = "auto"
+
+    # legacy TPU throughput mode (pre-"tiled"): derive the 3x3 rescue taps
+    # from static shifts of the one bilinear quad gather. Superseded by
+    # reproject_gather="tiled", kept for comparison; forces mode "fast".
     fast_reproject: bool = False
 
     # TPU throughput mode: draw the secondary-ray randoms (envmap sample,
