@@ -13,15 +13,21 @@ from tpuray.utils.platform import enable_compile_cache
 enable_compile_cache()
 
 
+def _sync(out):
+    import numpy as np
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.reshape(-1)[:1])
+
+
 def timed(fn, iters=20, trials=3):
     out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     best = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn()
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -32,7 +38,7 @@ def main():
     idx = jax.random.randint(key, (n,), 0, n)
     # locally-smooth indices (reproject-like): identity + small jitter
     idx_smooth = jnp.clip(jnp.arange(n) + jax.random.randint(key, (n,), -900, 900), 0, n - 1)
-    for width in (1, 4, 12, 16, 48, 64):
+    for width in (1, 4, 8, 12, 16, 20, 24, 32, 48, 64):
         tbl = jax.random.uniform(jax.random.PRNGKey(1), (n, width))
         for name, ii in (("rand", idx), ("smooth", idx_smooth)):
             f = jax.jit(lambda t, i: jnp.take(t, i, axis=0))

@@ -17,15 +17,23 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(out):
+    # the axon backend's block_until_ready can return before execution
+    # finishes; a host transfer is the reliable fence (cf. bench.py)
+    import numpy as np
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.reshape(-1)[:1])
+
+
 def timed(fn, iters=10, trials=3):
     out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     best = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn()
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best * 1e3
 

@@ -303,6 +303,13 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
     light = jnp.zeros((n, 3), jnp.float32)
     reduction = jnp.ones((n, 3), jnp.float32)
     alive = jnp.ones((n,), bool)
+    # each ray misses at most once; record (direction, throughput) at the
+    # miss and fetch the environment radiance ONCE after the loop — the
+    # bilinear env fetch is a full-frame gather (~4.4 ms at 800x800), so
+    # per-bounce fetches would cost depth x that
+    miss_any = jnp.zeros((n,), bool)
+    miss_dir = d
+    miss_reduction = jnp.zeros((n, 3), jnp.float32)
 
     emission0 = jnp.zeros((n, 3), jnp.float32)
     albedo0 = jnp.zeros((n, 3), jnp.float32)
@@ -326,8 +333,9 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
 
         # miss -> environment radiance, terminate (path_tracing.frag:1084-1087)
         miss = alive & ~hit.valid
-        env_rad = env.env_radiance_packed(pk.env_image_q, d)
-        light = light + jnp.where(miss[..., None], env_rad * reduction, 0.0)
+        miss_dir = jnp.where(miss[..., None], d, miss_dir)
+        miss_reduction = jnp.where(miss[..., None], reduction, miss_reduction)
+        miss_any = miss_any | miss
         alive = alive & hit.valid
 
         # sample the BSDF (Sobol + CPR + stream xi3, frag:1089-1096)
@@ -376,6 +384,10 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
 
         orig = hit.point
         d = jnp.where(alive[..., None], l_new, d)
+
+    env_rad = env.env_radiance_packed(pk.env_image_q, miss_dir)
+    light = light + jnp.where(miss_any[..., None],
+                              env_rad * miss_reduction, 0.0)
 
     # clamp + NaN scrub (frag:1110-1113)
     light = jnp.clip(light, 0.0, cfg.clamp_threshold)
