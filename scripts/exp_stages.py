@@ -106,6 +106,10 @@ def main():
         rec(f"taa_{'static' if static else 'moving'}",
             timed(lambda: f(color)))
 
+    f = jax.jit(lambda c: taa(c, p_il, motion, lz, jnp.int32(5),
+                              tiled_fetch=True))
+    rec("taa_moving_tiled", timed(lambda: f(color)))
+
 
 if __name__ == "__main__":
     main()

@@ -236,7 +236,11 @@ def test_tiled_reproject_matches_exact(rng):
                 prev_moments=prev_moments, prev_history_len=prev_hist)
     exact = reproject(**args, cfg=CFG.replace(reproject_gather="exact"))
     tiled = reproject(**args, cfg=CFG.replace(reproject_gather="tiled"))
-    interior = np.s_[2:-2, 2:-2]
+    # compare where the reprojected base lands in-image: at the inflow
+    # border (first ~3 columns here) the tiled path conservatively rejects
+    # taps whose base is off-image while the exact path's clamped quad
+    # fetch keeps them — documented border-only divergence
+    interior = np.s_[2:-2, 4:-2]
     for a, b in zip(tiled, exact):
         np.testing.assert_allclose(np.asarray(a)[interior],
                                    np.asarray(b)[interior],
@@ -260,3 +264,19 @@ def test_tiled_reproject_no_nans_wild_motion(rng):
                     CFG.replace(reproject_gather="tiled"))
     for a in out:
         assert np.isfinite(np.asarray(a)).all()
+
+
+def test_taa_tiled_fetch_matches_gather(rng):
+    """taa(tiled_fetch=True) must equal the gather path for smooth motion
+    (away from image borders, where the tiled path conservatively rejects
+    rather than clamps)."""
+    z = jnp.full((H, W), 2.0)
+    cur = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    prev = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+    vel = jnp.stack([jnp.full((H, W), 1.3 / W), jnp.full((H, W), 0.6 / H)],
+                    axis=-1)
+    a = taa(cur, prev, vel, z, 3, tiled_fetch=False)
+    b = taa(cur, prev, vel, z, 3, tiled_fetch=True)
+    interior = np.s_[3:-3, 3:-3]
+    np.testing.assert_allclose(np.asarray(b)[interior],
+                               np.asarray(a)[interior], rtol=1e-5, atol=1e-5)

@@ -81,8 +81,10 @@ def svgf_pipeline(color: Array, emission: Array, albedo: Array,
                 history_tap, history_tap_var = illum, variance
 
     mod = modulate(illum, albedo, emission, gbuf.linear_z)
+    from tpuray.denoise.reproject import _gather_mode
     taa_out = taa(mod, state.taa_color, gbuf.velocity, gbuf.linear_z,
-                  state.frame_idx, static_camera=static_camera)
+                  state.frame_idx, static_camera=static_camera,
+                  tiled_fetch=_gather_mode(cfg) == "tiled")
 
     return SVGFOutput(
         reprojected=rep.illum, reprojected_var=rep.variance,

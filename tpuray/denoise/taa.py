@@ -73,16 +73,52 @@ def clip_aabb(cur_ycc_3x3_mu, cur_ycc_3x3_sigma, prev_ycc, gamma=1.0):
     return jnp.where(ma > 1.0, clipped, prev_ycc)
 
 
+def _history_fetch_tiled(prev_color: Array, vel: Array) -> Array:
+    """Bilinear history fetch via the tile-windowed path
+    (denoise/tile_gather.py) instead of a full-frame gather (~8 ms/Mpx on
+    v5e). Unresolved taps (motion discontinuities, image edges) drop out of
+    the bilinear sum with weight renormalization; if all four fail the
+    history is rejected (zero weight -> falls back to the current color via
+    the caller's variance clip + blend)."""
+    from tpuray.denoise.tile_gather import QUAD, tiled_taps
+
+    h, w = prev_color.shape[:2]
+    yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    x = xx.astype(jnp.float32) + 0.5 - vel[..., 0] * w - 0.5
+    y = yy.astype(jnp.float32) + 0.5 - vel[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    taps, res = tiled_taps(prev_color, y0.astype(jnp.int32),
+                           x0.astype(jnp.int32), QUAD)
+    weights = {
+        (0, 0): (1 - fx) * (1 - fy), (0, 1): fx * (1 - fy),
+        (1, 0): (1 - fx) * fy, (1, 1): fx * fy,
+    }
+    acc = jnp.zeros_like(prev_color)
+    wsum = jnp.zeros((h, w, 1), jnp.float32)
+    for e, wt in weights.items():
+        wv = jnp.where(res[e][..., None], wt, 0.0)
+        acc = acc + wv * taps[e]
+        wsum = wsum + wv
+    return acc / jnp.maximum(wsum, 1e-6), wsum[..., 0] > 1e-6
+
+
 def taa(cur_color: Array, prev_color: Array, velocity: Array,
         linear_z: Array, frame: Array | int,
-        static_camera: bool = False) -> Array:
+        static_camera: bool = False, tiled_fetch: bool = False) -> Array:
     h, w = linear_z.shape
     sky = linear_z == 1.0
+    hist_ok = None
 
     if static_camera:
         # motion == 0: history fetch is the same pixel, no gather
         vel = jnp.zeros((h, w, 2), jnp.float32)
         prev = prev_color
+    elif tiled_fetch:
+        vel = closest_velocity(velocity, linear_z)
+        prev, hist_ok = _history_fetch_tiled(prev_color, vel)
     else:
         vel = closest_velocity(velocity, linear_z)
         # history fetch at uv - velocity (bilinear, taa.frag:137-139); the
@@ -112,6 +148,8 @@ def taa(cur_color: Array, prev_color: Array, velocity: Array,
     prev_rgb = taa_untonemap(ycocgr_to_rgb(prev_ycc))
 
     blend = jnp.clip(0.05 + jnp.linalg.norm(vel, axis=-1) * 100.0, 0.0, 1.0)
+    if hist_ok is not None:
+        blend = jnp.where(hist_ok, blend, 1.0)  # no history -> current color
     out = blend[..., None] * now_rgb + (1.0 - blend)[..., None] * prev_rgb
 
     first_frame = jnp.asarray(frame, jnp.int32) == 0

@@ -8,21 +8,23 @@ module replaces them with a decomposition that runs in ~2 ms:
   1. split the image into (ty, tx) tiles; for each tile, DMA one history
      *window* with `vmap(lax.dynamic_slice)` — a coarse, contiguous fetch
      the TPU is good at;
-  2. quad-pack the window channels (4 static shifts), so each selected
-     texel carries its whole 2x2 bilinear footprint;
-  3. inside each window, reconstruct the per-pixel base texel with a short
+  2. inside each window, reconstruct the per-pixel base texel with a short
      chain of static-slice + select ops keyed on the *diagonal residual*
      r = (tap_row - pixel_row): for locally smooth motion r is nearly
-     constant, so (span+1)^2 candidates cover a whole tile. The four
-     bilinear taps are therefore EXACT for every pixel whose residual stays
-     within the tile span;
-  4. ring taps (the 3x3 rescue neighborhood) come from the same aligned
-     block by static shifts, with an *exactness mask*: the shifted value
-     equals the true tap iff the neighbor pixel's base coords are the
-     pixel's own base + offset — an integer identity that holds everywhere
-     except across >=1px/px motion-field discontinuities, where the caller
-     treats the tap as invalid (reprojection falls back to its spatial
-     estimate there, which is what happens at disocclusions anyway).
+     constant, so (span+1)^2 candidates cover a whole tile;
+  3. neighbor taps (the bilinear quad and the 3x3 rescue ring) come from
+     the same aligned block by static shifts, with an *exactness mask*: the
+     shifted value equals the true tap iff the neighbor pixel's base coords
+     are the pixel's own base + offset — an integer identity that holds
+     everywhere except across >=1px/px motion-field discontinuities (and
+     the integer-crossing contours of a smooth field, ~0.5% of pixels),
+     where the caller treats the tap as invalid. Dropped bilinear taps
+     renormalize; failed rescue taps fall back to the spatial estimate —
+     exactly the algorithm's existing response to invalid history.
+
+(A variant that quad-packs the window channels makes the bilinear taps
+exact at the contours too, but 4x the select traffic costs more than the
+0.5% tap loss is worth: 26 ms vs ~8 ms per moving reprojection at 1080^2.)
 
 Exactness contract: for every offset e=(dy,dx), wherever `resolved[e]` is
 True the returned tap equals atlas[clip(y0)+dy, clip(x0)+dx] with those
@@ -66,13 +68,13 @@ def tiled_taps(atlas: Array, y0: Array, x0: Array,
     """
     h, w, c = atlas.shape
     assert all(-1 <= dy <= 1 and -1 <= dx <= 1 for dy, dx in offsets)
-    wy, wx = ty + span + 3, tx + span + 3   # +1 row/col: quad packing
+    wy, wx = ty + span + 2, tx + span + 2
     nty, ntx = -(-h // ty), -(-w // tx)
     hp, wp = nty * ty, ntx * tx
     n = nty * ntx
     # guard pad: the diagonal window base By = min(yc - i) can sit up to a
     # full tile extent past the image edge (clamped coords near borders,
-    # large shifts toward an edge). Padding by tile+span+3 lets the
+    # large shifts toward an edge). Padding by the window size lets the
     # fixed-size window land anywhere the base math can put it; resolved
     # pixels never select pad texels (their yc/xc are in-image by
     # construction).
@@ -119,10 +121,6 @@ def tiled_taps(atlas: Array, y0: Array, x0: Array,
 
     win = jax.vmap(slice_atlas)(starts)                      # (n, wy, wx, c)
 
-    # quad packing: texel (m, l) carries its 2x2 bilinear footprint
-    win_q = jnp.concatenate(
-        [win[:, dy:dy + wy - 1, dx:dx + wx - 1] for dy, dx in QUAD], axis=-1)
-
     # halo-extended tiles of the residual candidates: cand = rg - (By-gy+1)
     # (independent of the in-tile position; solves window[cand+m] == atlas[yc])
     rg_pad = jnp.pad(rg, 1, mode="edge")
@@ -142,10 +140,10 @@ def tiled_taps(atlas: Array, y0: Array, x0: Array,
     sel_ok = ((candy >= 0) & (candy <= span)
               & (candx >= 0) & (candx <= span))              # (n, ty+2, tx+2)
 
-    # aligned block: per-pixel joint residual select (over quad channels)
-    al = jnp.zeros((n, ty + 2, tx + 2, 4 * c), atlas.dtype)
+    # aligned block: per-pixel joint residual select
+    al = jnp.zeros((n, ty + 2, tx + 2, c), atlas.dtype)
     for ry in range(span + 1):
-        sly = jax.lax.slice_in_dim(win_q, ry, ry + ty + 2, axis=1)
+        sly = jax.lax.slice_in_dim(win, ry, ry + ty + 2, axis=1)
         for rx in range(span + 1):
             sl = jax.lax.slice_in_dim(sly, rx, rx + tx + 2, axis=2)
             al = jnp.where(((candy == ry) & (candx == rx))[..., None], sl, al)
@@ -167,25 +165,20 @@ def tiled_taps(atlas: Array, y0: Array, x0: Array,
 
     taps, resolved = {}, {}
     for dy, dx in offsets:
-        if (dy, dx) in QUAD:
-            q = QUAD.index((dy, dx))
-            sl = al[:, 1:1 + ty, 1:1 + tx, q * c:(q + 1) * c]
-            taps[(dy, dx)] = to_image(sl)
-            # exact whenever the pixel is in-span and the tap is in-image
-            resolved[(dy, dx)] = (sel_img & (yc + dy <= h - 1)
-                                  & (xc + dx <= w - 1))
-        else:
-            # ring tap: value and its selection mask from the SAME
-            # extended-block position (m+dy, l+dx) of the pixel's own tile
-            sl = al[:, 1 + dy:1 + dy + ty, 1 + dx:1 + dx + tx, 0:c]
-            taps[(dy, dx)] = to_image(sl)
-            sel = to_image(sel_ok[:, 1 + dy:1 + dy + ty, 1 + dx:1 + dx + tx])
-            ysh = rg_img[1 + dy:1 + dy + h, 1 + dx:1 + dx + w] + (yy + dy)
-            xsh = cg_img[1 + dy:1 + dy + h, 1 + dx:1 + dx + w] + (xx + dx)
-            # the fetched coords must equal the *unclipped* yc+dy (so taps
-            # straddling the image edge are unresolved, not silently
-            # clamped) and be in-image (guard-pad texels are garbage)
-            ok = ((ysh == yc + dy) & (xsh == xc + dx)
-                  & (ysh >= 0) & (ysh < h) & (xsh >= 0) & (xsh < w))
-            resolved[(dy, dx)] = ok & sel
+        # tap value and its selection mask come from the SAME extended-block
+        # position (m+dy, l+dx) of the pixel's own tile
+        sl = al[:, 1 + dy:1 + dy + ty, 1 + dx:1 + dx + tx]
+        taps[(dy, dx)] = to_image(sl)
+        if dy == 0 and dx == 0:
+            resolved[(0, 0)] = sel_img
+            continue
+        sel = to_image(sel_ok[:, 1 + dy:1 + dy + ty, 1 + dx:1 + dx + tx])
+        ysh = rg_img[1 + dy:1 + dy + h, 1 + dx:1 + dx + w] + (yy + dy)
+        xsh = cg_img[1 + dy:1 + dy + h, 1 + dx:1 + dx + w] + (xx + dx)
+        # the fetched coords must equal the *unclipped* yc+dy (so taps
+        # straddling the image edge are unresolved, not silently
+        # clamped) and be in-image (guard-pad texels are garbage)
+        ok = ((ysh == yc + dy) & (xsh == xc + dx)
+              & (ysh >= 0) & (ysh < h) & (xsh >= 0) & (xsh < w))
+        resolved[(dy, dx)] = ok & sel
     return taps, resolved
