@@ -38,9 +38,14 @@ def blur_variance_3x3(variance: Array, reference_quirks: bool) -> Array:
 
 def atrous_iteration(illum: Array, variance: Array, normal: Array,
                      linear_z: Array, fwidth_z: Array, step: int,
-                     cfg: RenderConfig) -> tuple[Array, Array]:
+                     cfg: RenderConfig,
+                     row_window: tuple | None = None) -> tuple[Array, Array]:
     """One wavelet iteration at dilation `step` (1<<i). Returns
-    (filtered illum, filtered variance)."""
+    (filtered illum, filtered variance).
+
+    row_window=(row0, global_h): inputs are a halo-extended row shard of a
+    taller image; boundary masks use global coordinates (tpuray.dist.frame).
+    """
     shape = illum.shape[:2]
     sky = linear_z == 1.0
 
@@ -57,7 +62,7 @@ def atrous_iteration(illum: Array, variance: Array, normal: Array,
             if xx == 0 and yy == 0:
                 continue
             dy, dx = yy * step, xx * step
-            inside = inside_mask(shape, dy, dx)
+            inside = inside_mask(shape, dy, dx, row_window)
             il_p = shift2d(illum, dy, dx)
             var_p = shift2d(variance, dy, dx)
             l_p = luminance(il_p)

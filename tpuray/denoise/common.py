@@ -43,11 +43,18 @@ def shift2d(img: Array, dy: int, dx: int) -> Array:
     return img
 
 
-def inside_mask(shape: tuple[int, int], dy: int, dx: int) -> Array:
-    """True where pixel (y+dy, x+dx) is inside the image."""
+def inside_mask(shape: tuple[int, int], dy: int, dx: int,
+                row_window: tuple | None = None) -> Array:
+    """True where pixel (y+dy, x+dx) is inside the image.
+
+    row_window=(row0, global_h): the local array is a row shard (plus halo)
+    of a taller image — local row i is global row row0+i and the vertical
+    bounds test uses global_h, so a halo-extended shard computes exactly
+    the single-device mask (tpuray.dist.frame)."""
     h, w = shape
-    ys = jnp.arange(h) + dy
+    row0, gh = row_window if row_window is not None else (0, h)
+    ys = jnp.arange(h) + row0 + dy
     xs = jnp.arange(w) + dx
-    my = (ys >= 0) & (ys < h)
+    my = (ys >= 0) & (ys < gh)
     mx = (xs >= 0) & (xs < w)
     return my[:, None] & mx[None, :]

@@ -72,17 +72,22 @@ def reproject(color: Array, emission: Array, albedo: Array,
               prev_illum: Array, prev_variance: Array,
               prev_normal: Array, prev_linear_z: Array,
               prev_moments: Array, prev_history_len: Array,
-              cfg: RenderConfig, static_camera: bool = False) -> ReprojectOutput:
+              cfg: RenderConfig, static_camera: bool = False,
+              row_window: tuple | None = None) -> ReprojectOutput:
+    # row_window=(row0, global_h): inputs are a halo-extended row shard of a
+    # taller image; all uv/pixel math runs in global coordinates so a shard
+    # computes exactly the single-device result (tpuray.dist.frame). Only
+    # the static and tiled paths support it.
     if static_camera:
         return _reproject_static(
             color, emission, albedo, normal, linear_z, fwidth_normal,
             fwidth_z, prev_illum, prev_variance, prev_normal, prev_linear_z,
-            prev_moments, prev_history_len, cfg)
-    if _gather_mode(cfg) == "tiled":
+            prev_moments, prev_history_len, cfg, row_window)
+    if _gather_mode(cfg) == "tiled" or row_window is not None:
         return _reproject_tiled(
             color, emission, albedo, motion, normal, linear_z, fwidth_normal,
             fwidth_z, prev_illum, prev_variance, prev_normal, prev_linear_z,
-            prev_moments, prev_history_len, cfg)
+            prev_moments, prev_history_len, cfg, row_window)
     h, w = color.shape[:2]
     yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
 
@@ -264,7 +269,8 @@ def _finish(color, illum, prev_i, prev_mo, bilinear_ok, rescue_ok, taps,
 def _reproject_tiled(color, emission, albedo, motion, normal, linear_z,
                      fwidth_normal, fwidth_z, prev_illum, prev_variance,
                      prev_normal, prev_linear_z, prev_moments,
-                     prev_history_len, cfg) -> ReprojectOutput:
+                     prev_history_len, cfg,
+                     row_window: tuple | None = None) -> ReprojectOutput:
     """Moving-camera reprojection through the tile-windowed fetch
     (denoise/tile_gather.py) instead of per-pixel gathers.
 
@@ -278,7 +284,8 @@ def _reproject_tiled(color, emission, albedo, motion, normal, linear_z,
     from tpuray.denoise.tile_gather import tiled_taps
 
     h, w = color.shape[:2]
-    yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    row0, gh = row_window if row_window is not None else (0, h)
+    yy, xx = jnp.meshgrid(jnp.arange(h) + row0, jnp.arange(w), indexing="ij")
     sky = linear_z == 1.0
 
     atlas = jnp.concatenate([
@@ -290,23 +297,24 @@ def _reproject_tiled(color, emission, albedo, motion, normal, linear_z,
     illum = jnp.where(jnp.isnan(illum), 0.0, illum)
 
     uv_x = (xx.astype(jnp.float32) + 0.5) / w - motion[..., 0]
-    uv_y = (yy.astype(jnp.float32) + 0.5) / h - motion[..., 1]
+    uv_y = (yy.astype(jnp.float32) + 0.5) / gh - motion[..., 1]
     fx = uv_x * w - 0.5
-    fy = uv_y * h - 0.5
+    fy = uv_y * gh - 0.5
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
     if cfg.reference_quirks:
         frac_x = (uv_x % (1.0 / w))
-        frac_y = (uv_y % (1.0 / h))
+        frac_y = (uv_y % (1.0 / gh))
     else:
         frac_x = fx - x0
         frac_y = fy - y0
-    x0i = x0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)  # global pixel coords
     y0i = y0.astype(jnp.int32)
 
-    # all 9 ring offsets; the bilinear quad subset gets exact taps
+    # all 9 ring offsets; the bilinear quad subset gets exact taps.
+    # the atlas is the local (halo-extended) shard -> local tap coords
     offs = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
-    raw, resolved = tiled_taps(atlas, y0i, x0i, offs)
+    raw, resolved = tiled_taps(atlas, y0i - row0, x0i, offs)
     taps_by_off = {e: split(raw[e]) for e in offs}
 
     # bilinear accumulation (offset naming here is (dx, dy), matching the
@@ -324,7 +332,7 @@ def _reproject_tiled(color, emission, albedo, motion, normal, linear_z,
         tap = taps_by_off[(dy, dx)]
         bilinear_taps.append(tap)
         v = (resolved[(dy, dx)]
-             & _tap_valid(y0i + dy, x0i + dx, h, w, linear_z, fwidth_z,
+             & _tap_valid(y0i + dy, x0i + dx, gh, w, linear_z, fwidth_z,
                           normal, fwidth_normal, tap, cfg))
         any_valid = any_valid | v
         wv = jnp.where(v, wt, 0.0)
@@ -346,7 +354,7 @@ def _reproject_tiled(color, emission, albedo, motion, normal, linear_z,
         for dx in (-1, 0, 1):
             tap = taps_by_off[(dy, dx)]
             v = (resolved[(dy, dx)]
-                 & _tap_valid(y0i + dy, x0i + dx, h, w, linear_z, fwidth_z,
+                 & _tap_valid(y0i + dy, x0i + dx, gh, w, linear_z, fwidth_z,
                               normal, fwidth_normal, tap, cfg))
             vf = v.astype(jnp.float32)
             n_valid = n_valid + vf
@@ -361,13 +369,14 @@ def _reproject_tiled(color, emission, albedo, motion, normal, linear_z,
 
     return _finish(color, illum, prev_i, prev_mo, bilinear_ok, rescue_ok,
                    bilinear_taps, fx, fy, x0i, y0i, sky, prev_moments,
-                   prev_history_len, linear_z, cfg, h, w)
+                   prev_history_len, linear_z, cfg, gh, w)
 
 
 def _reproject_static(color, emission, albedo, normal, linear_z,
                       fwidth_normal, fwidth_z, prev_illum, prev_variance,
                       prev_normal, prev_linear_z, prev_moments,
-                      prev_history_len, cfg) -> ReprojectOutput:
+                      prev_history_len, cfg,
+                      row_window: tuple | None = None) -> ReprojectOutput:
     """Static-camera specialization: motion == 0, so every history read is
     the same pixel (bilinear collapses to the base tap) and the 3x3 rescue
     uses static shifts — the whole pass is gather-free, which matters on TPU
@@ -403,7 +412,7 @@ def _reproject_static(color, emission, albedo, normal, linear_z,
         for dx in (-1, 0, 1):
             z_p = shift2d(prev_linear_z, dy, dx)
             n_p = shift2d(prev_normal, dy, dx)
-            v = tap_valid(z_p, n_p) & inside_mask((h, w), dy, dx)
+            v = tap_valid(z_p, n_p) & inside_mask((h, w), dy, dx, row_window)
             vf = v.astype(jnp.float32)
             n_valid = n_valid + vf
             iv = jnp.concatenate([shift2d(prev_illum, dy, dx),

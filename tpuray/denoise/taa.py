@@ -73,7 +73,8 @@ def clip_aabb(cur_ycc_3x3_mu, cur_ycc_3x3_sigma, prev_ycc, gamma=1.0):
     return jnp.where(ma > 1.0, clipped, prev_ycc)
 
 
-def _history_fetch_tiled(prev_color: Array, vel: Array) -> Array:
+def _history_fetch_tiled(prev_color: Array, vel: Array,
+                         row_window: tuple | None = None) -> Array:
     """Bilinear history fetch via the tile-windowed path
     (denoise/tile_gather.py) instead of a full-frame gather (~8 ms/Mpx on
     v5e). Unresolved taps (motion discontinuities, image edges) drop out of
@@ -83,14 +84,15 @@ def _history_fetch_tiled(prev_color: Array, vel: Array) -> Array:
     from tpuray.denoise.tile_gather import QUAD, tiled_taps
 
     h, w = prev_color.shape[:2]
-    yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    row0, gh = row_window if row_window is not None else (0, h)
+    yy, xx = jnp.meshgrid(jnp.arange(h) + row0, jnp.arange(w), indexing="ij")
     x = xx.astype(jnp.float32) + 0.5 - vel[..., 0] * w - 0.5
-    y = yy.astype(jnp.float32) + 0.5 - vel[..., 1] * h - 0.5
+    y = yy.astype(jnp.float32) + 0.5 - vel[..., 1] * gh - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
-    taps, res = tiled_taps(prev_color, y0.astype(jnp.int32),
+    taps, res = tiled_taps(prev_color, y0.astype(jnp.int32) - row0,
                            x0.astype(jnp.int32), QUAD)
     weights = {
         (0, 0): (1 - fx) * (1 - fy), (0, 1): fx * (1 - fy),
@@ -107,7 +109,9 @@ def _history_fetch_tiled(prev_color: Array, vel: Array) -> Array:
 
 def taa(cur_color: Array, prev_color: Array, velocity: Array,
         linear_z: Array, frame: Array | int,
-        static_camera: bool = False, tiled_fetch: bool = False) -> Array:
+        static_camera: bool = False, tiled_fetch: bool = False,
+        row_window: tuple | None = None) -> Array:
+    # row_window: halo-extended row shard; see tpuray.dist.frame
     h, w = linear_z.shape
     sky = linear_z == 1.0
     hist_ok = None
@@ -118,7 +122,7 @@ def taa(cur_color: Array, prev_color: Array, velocity: Array,
         prev = prev_color
     elif tiled_fetch:
         vel = closest_velocity(velocity, linear_z)
-        prev, hist_ok = _history_fetch_tiled(prev_color, vel)
+        prev, hist_ok = _history_fetch_tiled(prev_color, vel, row_window)
     else:
         vel = closest_velocity(velocity, linear_z)
         # history fetch at uv - velocity (bilinear, taa.frag:137-139); the

@@ -33,7 +33,10 @@ class VarianceOutput(NamedTuple):
 
 def estimate_variance(illum: Array, variance: Array, moments: Array,
                       history_len: Array, normal: Array, linear_z: Array,
-                      fwidth_z: Array, cfg: RenderConfig) -> VarianceOutput:
+                      fwidth_z: Array, cfg: RenderConfig,
+                      row_window: tuple | None = None) -> VarianceOutput:
+    # row_window=(row0, global_h): halo-extended row shard; global-coord
+    # boundary masks (tpuray.dist.frame)
     shape = illum.shape[:2]
     sky = linear_z == 1.0
     needs = (history_len < 4.0) & ~sky
@@ -47,7 +50,7 @@ def estimate_variance(illum: Array, variance: Array, moments: Array,
     radius = 3
     for dy in range(-radius, radius + 1):
         for dx in range(-radius, radius + 1):
-            inside = inside_mask(shape, dy, dx)
+            inside = inside_mask(shape, dy, dx, row_window)
             il_p = shift2d(illum, dy, dx)
             mo_p = shift2d(moments, dy, dx)[..., :2]
             l_p = luminance(il_p)
