@@ -10,7 +10,8 @@ from tpuray.integrator.disney import ShadeMaterial
 def make_mat(n=1, **kw):
     d = dict(emissive=(0, 0, 0), base_color=(0.8, 0.6, 0.4), subsurface=0.0,
              metallic=0.0, specular=0.5, specular_tint=0.0, roughness=0.5,
-             sheen=0.0, sheen_tint=0.5, clearcoat=0.0, clearcoat_gloss=1.0)
+             sheen=0.0, sheen_tint=0.5, clearcoat=0.0, clearcoat_gloss=1.0,
+             anisotropic=0.0)
     d.update(kw)
     def arr(v):
         a = np.asarray(v, np.float32)
@@ -23,7 +24,8 @@ def make_mat(n=1, **kw):
         specular=arr(d["specular"]), specular_tint=arr(d["specular_tint"]),
         roughness=arr(d["roughness"]), sheen=arr(d["sheen"]),
         sheen_tint=arr(d["sheen_tint"]), clearcoat=arr(d["clearcoat"]),
-        clearcoat_gloss=arr(d["clearcoat_gloss"]))
+        clearcoat_gloss=arr(d["clearcoat_gloss"]),
+        anisotropic=arr(d["anisotropic"]))
 
 
 def hemisphere_grid(n_theta=64, n_phi=128):
@@ -116,3 +118,56 @@ def test_grad_wrt_material_finite():
     assert np.isfinite(np.asarray(g_r)).all()
     assert np.isfinite(np.asarray(g_b)).all()
     assert float(jnp.abs(g_b).sum()) > 0
+
+
+def test_aniso_reduces_to_isotropic_at_zero():
+    """evaluate_aniso(aniso=0) == evaluate() with matched Smith-G alpha.
+
+    The reference's isotropic G uses alphaG=roughness while the aniso
+    branch uses roughness^2 (path_tracing.frag:570-593); pick roughness=1
+    where the conventions coincide, plus a direct GTR2 check at any r."""
+    rs = np.random.RandomState(0)
+    n = 64
+    v = _rand_dirs(rs, n, up=True)
+    l = _rand_dirs(rs, n, up=True)
+    nrm = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (n, 1))
+    x = np.tile(np.array([1.0, 0.0, 0.0], np.float32), (n, 1))
+    y = np.tile(np.array([0.0, 1.0, 0.0], np.float32), (n, 1))
+    mat = make_mat(n, roughness=1.0, metallic=0.3, clearcoat=0.4)
+    f_iso = disney.evaluate(jnp.asarray(v), jnp.asarray(nrm), jnp.asarray(l), mat)
+    f_an = disney.evaluate_aniso(jnp.asarray(v), jnp.asarray(nrm), jnp.asarray(l),
+                                 jnp.asarray(x), jnp.asarray(y), mat)
+    np.testing.assert_allclose(np.asarray(f_an), np.asarray(f_iso),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_gtr2_aniso_matches_gtr2_when_axes_equal():
+    rs = np.random.RandomState(1)
+    h = _rand_dirs(rs, 128, up=True)
+    a = jnp.asarray(0.37, jnp.float32)
+    ndoth = jnp.asarray(h[:, 2])
+    d_iso = disney.gtr2(ndoth, a)
+    d_an = disney.gtr2_aniso(ndoth, jnp.asarray(h[:, 0]), jnp.asarray(h[:, 1]), a, a)
+    np.testing.assert_allclose(np.asarray(d_an), np.asarray(d_iso), rtol=1e-4)
+
+
+def test_aniso_stretches_highlight():
+    """ax != ay: density at H tilted toward x vs y must differ."""
+    mat = make_mat(1, roughness=0.3, anisotropic=0.8)
+    ax, ay = disney.aniso_alphas(mat)
+    assert float(ax[0]) > float(ay[0])
+    tilt = np.float32(0.3)
+    c = np.sqrt(1 - tilt * tilt)
+    hx = jnp.asarray([tilt]); hz = jnp.asarray([c]); z0 = jnp.asarray([0.0])
+    d_x = disney.gtr2_aniso(hz, hx, z0, ax, ay)
+    d_y = disney.gtr2_aniso(hz, z0, hx, ax, ay)
+    assert float(d_x[0]) > float(d_y[0])
+
+
+def _rand_dirs(rs, n, up=False):
+    d = rs.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    if up:
+        d[:, 2] = np.abs(d[:, 2]) + 0.05
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return d

@@ -76,3 +76,22 @@ def test_sobol_vec2_stable_across_pixels():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     c = rng.sobol_vec2(6, 0)
     assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_halton_2_3_matches_reference_table():
+    # The reference constant table (path_tracing.frag:38-47) is Halton(i)
+    # for i = 8..1 descending in bases (2, 3).
+    ref = np.array([
+        [1 / 16, 8 / 9], [7 / 8, 5 / 9], [3 / 8, 2 / 9], [5 / 8, 7 / 9],
+        [1 / 8, 4 / 9], [3 / 4, 1 / 9], [1 / 4, 2 / 3], [1 / 2, 1 / 3],
+    ], np.float32)
+    got = rng.halton_2_3(8)[::-1]
+    np.testing.assert_allclose(got, ref, atol=1e-7)
+
+
+def test_rand_sync_matches_wang_of_fixed_seed():
+    w, h = 800, 800
+    seed = ((w // 2) * 1973 + (h // 2) * 9277 + 114514 * 26699) & 0xFFFFFFFF
+    seed |= 1
+    expected = wang_ref(seed) / 4294967296.0
+    assert abs(rng.rand_sync(w, h) - expected) < 1e-7

@@ -34,6 +34,7 @@ class ShadeMaterial(NamedTuple):
     sheen_tint: Array
     clearcoat: Array
     clearcoat_gloss: Array
+    anisotropic: Array = 0.0
 
 
 def safe_normalize(v: Array, eps: float = 1e-20) -> Array:
@@ -66,6 +67,29 @@ def smith_g_ggx(ndotv: Array, alpha_g: Array) -> Array:
     a = alpha_g * alpha_g
     b = ndotv * ndotv
     return 1.0 / (ndotv + jnp.sqrt(jnp.maximum(a + b - a * b, 0.0)))
+
+
+def gtr2_aniso(ndoth: Array, hdotx: Array, hdoty: Array,
+               ax: Array, ay: Array) -> Array:
+    """Anisotropic GTR2 (path_tracing.frag:543-545)."""
+    t = (hdotx / ax) ** 2 + (hdoty / ay) ** 2 + ndoth * ndoth
+    return 1.0 / (PI * ax * ay * jnp.maximum(t * t, 1e-12))
+
+
+def smith_g_ggx_aniso(ndotv: Array, vdotx: Array, vdoty: Array,
+                      ax: Array, ay: Array) -> Array:
+    """Anisotropic Smith-GGX shadowing (path_tracing.frag:553-555)."""
+    t = (vdotx * ax) ** 2 + (vdoty * ay) ** 2 + ndotv * ndotv
+    return 1.0 / jnp.maximum(ndotv + jnp.sqrt(jnp.maximum(t, 0.0)), 1e-8)
+
+
+def aniso_alphas(mat: ShadeMaterial) -> tuple[Array, Array]:
+    """Disney aspect-ratio roughness split (path_tracing.frag:584-586)."""
+    aspect = jnp.sqrt(jnp.maximum(1.0 - mat.anisotropic * 0.9, 1e-6))
+    r2 = mat.roughness * mat.roughness
+    ax = jnp.maximum(0.001, r2 / aspect)
+    ay = jnp.maximum(0.001, r2 * aspect)
+    return ax, ay
 
 
 def _colors(mat: ShadeMaterial):
@@ -122,6 +146,59 @@ def evaluate(v: Array, n: Array, l: Array, mat: ShadeMaterial) -> Array:
 
     fsheen = fh[..., None] * mat.sheen[..., None] * csheen
 
+    diffuse_scalar = (1.0 / PI) * (fd + (ss - fd) * mat.subsurface)
+    diffuse = diffuse_scalar[..., None] * cdlin + fsheen
+    specular = (gs * ds)[..., None] * fs
+    clearcoat = (0.25 * gr * fr * dr * mat.clearcoat)[..., None]
+
+    f = diffuse * (1.0 - mat.metallic[..., None]) + specular + clearcoat
+    return jnp.where(valid[..., None], f, 0.0)
+
+
+def evaluate_aniso(v: Array, n: Array, l: Array, x: Array, y: Array,
+                   mat: ShadeMaterial) -> Array:
+    """Anisotropic f_r(V, L) with tangent frame (x, y).
+
+    The reference carries this variant unused (BRDF_Evaluate_aniso,
+    path_tracing.frag:557-618, aniso branch commented at :583-593); here it
+    is a first-class evaluator: GTR2_aniso specular with aspect-split
+    alphas and anisotropic Smith-GGX, identical diffuse/sheen/clearcoat
+    terms. Reduces to evaluate() when mat.anisotropic == 0 up to the
+    Smith-G alpha convention (reference isotropic G uses roughness, not
+    roughness^2 — kept faithfully in both paths)."""
+    ndotl = jnp.sum(n * l, axis=-1)
+    ndotv = jnp.sum(n * v, axis=-1)
+    valid = (ndotl >= 0) & (ndotv >= 0)
+    ndotl = jnp.maximum(ndotl, 1e-6)
+    ndotv = jnp.maximum(ndotv, 1e-6)
+
+    h = safe_normalize(l + v)
+    ndoth = jnp.sum(n * h, axis=-1)
+    ldoth = jnp.sum(l * h, axis=-1)
+
+    cdlin, cspec0, csheen = _colors(mat)
+
+    fd90 = 0.5 + 2.0 * ldoth * ldoth * mat.roughness
+    fl = schlick_fresnel(ndotl)
+    fv = schlick_fresnel(ndotv)
+    fd = (1.0 + (fd90 - 1.0) * fl) * (1.0 + (fd90 - 1.0) * fv)
+    fss90 = ldoth * ldoth * mat.roughness
+    fss = (1.0 + (fss90 - 1.0) * fl) * (1.0 + (fss90 - 1.0) * fv)
+    denom = jnp.maximum(ndotl + ndotv, 1e-8)
+    ss = 1.25 * (fss * (1.0 / denom - 0.5) + 0.5)
+
+    ax, ay = aniso_alphas(mat)
+    ds = gtr2_aniso(ndoth, jnp.sum(h * x, axis=-1), jnp.sum(h * y, axis=-1), ax, ay)
+    fh = schlick_fresnel(ldoth)
+    fs = cspec0 * (1.0 - fh[..., None]) + fh[..., None]
+    gs = (smith_g_ggx_aniso(ndotl, jnp.sum(l * x, axis=-1), jnp.sum(l * y, axis=-1), ax, ay)
+          * smith_g_ggx_aniso(ndotv, jnp.sum(v * x, axis=-1), jnp.sum(v * y, axis=-1), ax, ay))
+
+    dr = gtr1(ndoth, 0.1 + (0.001 - 0.1) * mat.clearcoat_gloss)
+    fr = 0.04 + 0.96 * fh
+    gr = smith_g_ggx(ndotl, 0.25) * smith_g_ggx(ndotv, 0.25)
+
+    fsheen = fh[..., None] * mat.sheen[..., None] * csheen
     diffuse_scalar = (1.0 / PI) * (fd + (ss - fd) * mat.subsurface)
     diffuse = diffuse_scalar[..., None] * cdlin + fsheen
     specular = (gs * ds)[..., None] * fs

@@ -144,7 +144,7 @@ def fetch_material(table: Array, mat_id: Array):
         subsurface=row[..., 6], metallic=row[..., 7], specular=row[..., 8],
         specular_tint=row[..., 9], roughness=row[..., 10],
         sheen=row[..., 12], sheen_tint=row[..., 13], clearcoat=row[..., 14],
-        clearcoat_gloss=row[..., 15],
+        clearcoat_gloss=row[..., 15], anisotropic=row[..., 11],
     )
 
 

@@ -53,6 +53,47 @@ def rand(seed: Array) -> tuple[Array, Array]:
     return bits.astype(jnp.float32) * _INV_U32, seed
 
 
+def rand_sync_seed(width: int, height: int) -> np.uint32:
+    """Frame-synchronized stream seed (path_tracing.frag:451-455).
+
+    The reference zeroes the pixel coordinates so every fragment shares one
+    stream: seed = (0.5*width)*1973 + (0.5*height)*9277 + 114514*26699, |1.
+    Carried in the reference as dead code; exposed here for parity."""
+    s = (np.uint32(width // 2) * np.uint32(1973)
+         + np.uint32(height // 2) * np.uint32(9277)
+         + np.uint32(114514) * np.uint32(26699))
+    return np.uint32(s | np.uint32(1))
+
+
+def rand_sync(width: int, height: int) -> float:
+    """One draw from the synchronized stream (path_tracing.frag:457-458)."""
+    bits, _ = wang_hash(jnp.asarray(rand_sync_seed(width, height), _U32))
+    return float(bits.astype(jnp.float32) * _INV_U32)
+
+
+def _radical_inverse(i: np.ndarray, base: int) -> np.ndarray:
+    inv = np.zeros(i.shape, np.float64)
+    f = 1.0 / base
+    i = i.copy()
+    while np.any(i > 0):
+        inv += f * (i % base)
+        i //= base
+        f /= base
+    return inv
+
+
+def halton_2_3(n: int = 8) -> np.ndarray:
+    """(n, 2) Halton base-(2,3) points.
+
+    The reference embeds a constant table (Halton_2_3,
+    path_tracing.frag:38-47 — unused) whose rows are Halton(i) for
+    i = 8..1 descending; `halton_2_3(8)[::-1]` reproduces it exactly.
+    Generated from the radical-inverse recurrence, not transcribed."""
+    i = np.arange(1, n + 1)
+    return np.stack([_radical_inverse(i, 2),
+                     _radical_inverse(i, 3)], axis=-1).astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # Sobol direction numbers, dims 1..8 (path_tracing.frag:463-472). These are
 # the standard Joe-Kuo direction numbers; first dim is the van der Corput
