@@ -171,3 +171,18 @@ def _rand_dirs(rs, n, up=False):
         d[:, 2] = np.abs(d[:, 2]) + 0.05
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
     return d
+
+
+def test_evaluate_pdf_matches_separate_calls():
+    rs = np.random.RandomState(2)
+    n = 128
+    v = _rand_dirs(rs, n, up=True)
+    l = _rand_dirs(rs, n)  # include below-horizon directions
+    nrm = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (n, 1))
+    mat = make_mat(n, roughness=0.25, metallic=0.5, clearcoat=0.7,
+                   sheen=0.3, subsurface=0.2)
+    f0 = disney.evaluate(jnp.asarray(v), jnp.asarray(nrm), jnp.asarray(l), mat)
+    p0 = disney.pdf(jnp.asarray(v), jnp.asarray(nrm), jnp.asarray(l), mat)
+    f1, p1 = disney.evaluate_pdf(jnp.asarray(v), jnp.asarray(nrm), jnp.asarray(l), mat)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), rtol=1e-6, atol=1e-8)

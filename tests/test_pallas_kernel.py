@@ -94,3 +94,31 @@ def test_large_scene_smem_fallback(scene):
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
     finally:
         pt.set_trace_backend("auto")
+
+
+def test_dead_lanes_inert(interp_trace, scene, rng):
+    """t_max <= 0 marks a lane dead: (INF, -1) out, both backends agree,
+    even for origins inside the scene AABB (negative slab t0)."""
+    n = 1024
+    o, d = make_rays(rng, n)
+    o = o.at[: n // 2].set(jnp.zeros(3))  # inside the unit-box scene
+    tm = jnp.where(jnp.arange(n) % 3 == 0, 0.0, 1e30).astype(jnp.float32)
+
+    t_x, i_x = trace_xla(scene.bvh, scene.triangles, o, d, t_max=tm)
+    t_p, i_p = interp_trace.trace_pallas(scene.bvh, scene.triangles, o, d,
+                                         t_max=tm)
+    dead = np.arange(n) % 3 == 0
+    assert (np.asarray(i_x)[dead] == -1).all()
+    assert (np.asarray(i_p)[dead] == -1).all()
+    assert (np.asarray(t_x)[dead] >= 1e29).all()
+    assert (np.asarray(t_p)[dead] >= 1e29).all()
+    # live lanes unchanged vs an unmasked trace
+    t_f, i_f = trace_xla(scene.bvh, scene.triangles, o, d)
+    live = ~dead
+    np.testing.assert_array_equal(np.asarray(i_x)[live], np.asarray(i_f)[live])
+    np.testing.assert_array_equal(np.asarray(i_p)[live], np.asarray(i_f)[live])
+
+    # any-hit: dead lanes must not suppress the early exit / stay unhit
+    t_a, i_a = interp_trace.trace_pallas(scene.bvh, scene.triangles, o, d,
+                                         t_max=tm, any_hit=True)
+    assert (np.asarray(i_a)[dead] == -1).all()

@@ -241,6 +241,63 @@ def pdf(v: Array, n: Array, l: Array, mat: ShadeMaterial) -> Array:
     return jnp.where(valid, jnp.maximum(p, 1e-10), 0.0)
 
 
+def evaluate_pdf(v: Array, n: Array, l: Array, mat: ShadeMaterial
+                 ) -> tuple[Array, Array]:
+    """(f_r, pdf) of one direction, sharing every common subexpression.
+
+    evaluate() and pdf() both build h/ndoth/ldoth and the GTR2/GTR1
+    densities; the integrator needs both for the sampled bounce direction
+    every bounce, so this fused form halves that work and keeps the traced
+    graph smaller than two separate calls."""
+    ndotl = jnp.sum(n * l, axis=-1)
+    ndotv = jnp.sum(n * v, axis=-1)
+    valid = (ndotl >= 0) & (ndotv >= 0)
+    ndotl = jnp.maximum(ndotl, 1e-6)
+    ndotv = jnp.maximum(ndotv, 1e-6)
+
+    h = safe_normalize(l + v)
+    ndoth = jnp.sum(n * h, axis=-1)
+    ldoth = jnp.sum(l * h, axis=-1)
+
+    cdlin, cspec0, csheen = _colors(mat)
+
+    fd90 = 0.5 + 2.0 * ldoth * ldoth * mat.roughness
+    fl = schlick_fresnel(ndotl)
+    fv = schlick_fresnel(ndotv)
+    fd = (1.0 + (fd90 - 1.0) * fl) * (1.0 + (fd90 - 1.0) * fv)
+    fss90 = ldoth * ldoth * mat.roughness
+    fss = (1.0 + (fss90 - 1.0) * fl) * (1.0 + (fss90 - 1.0) * fv)
+    denom = jnp.maximum(ndotl + ndotv, 1e-8)
+    ss = 1.25 * (fss * (1.0 / denom - 0.5) + 0.5)
+
+    alpha = jnp.maximum(0.001, mat.roughness * mat.roughness)
+    ds = gtr2(ndoth, alpha)
+    fh = schlick_fresnel(ldoth)
+    fs = cspec0 * (1.0 - fh[..., None]) + fh[..., None]
+    gs = smith_g_ggx(ndotl, mat.roughness) * smith_g_ggx(ndotv, mat.roughness)
+
+    dr = gtr1(ndoth, 0.1 + (0.001 - 0.1) * mat.clearcoat_gloss)
+    fr = 0.04 + 0.96 * fh
+    gr = smith_g_ggx(ndotl, 0.25) * smith_g_ggx(ndotv, 0.25)
+
+    fsheen = fh[..., None] * mat.sheen[..., None] * csheen
+    diffuse_scalar = (1.0 / PI) * (fd + (ss - fd) * mat.subsurface)
+    diffuse = diffuse_scalar[..., None] * cdlin + fsheen
+    specular = (gs * ds)[..., None] * fs
+    clearcoat = (0.25 * gr * fr * dr * mat.clearcoat)[..., None]
+    f = diffuse * (1.0 - mat.metallic[..., None]) + specular + clearcoat
+    f = jnp.where(valid[..., None], f, 0.0)
+
+    pdf_diffuse = ndotl / PI
+    safe_ldoth = jnp.where(jnp.abs(ldoth) < 1e-8, 1e-8, ldoth)
+    pdf_specular = ds * ndoth / (4.0 * safe_ldoth)
+    pdf_clearcoat = dr * ndoth / (4.0 * safe_ldoth)
+    p_d, p_s, p_c = _lobe_probs(mat)
+    p = p_d * pdf_diffuse + p_s * pdf_specular + p_c * pdf_clearcoat
+    p = jnp.where(valid, jnp.maximum(p, 1e-10), 0.0)
+    return f, p
+
+
 def build_onb(n: Array) -> tuple[Array, Array]:
     """Orthonormal basis around n (path_tracing.frag:681-687 convention)."""
     helper = jnp.where(

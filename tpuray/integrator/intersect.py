@@ -147,6 +147,10 @@ def trace(bvh: BVHSoA, tri: TriangleSoA, orig: Array, d: Array,
     n_nodes = bvh.count
     n = orig.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    # dead-lane convention shared with the Pallas kernel: t_max <= 0 means
+    # "masked off" — snap to -INF so an inside-the-box origin (negative
+    # slab t0) cannot sneak past the `t0 < limit` test
+    t_max = jnp.where(t_max <= 0.0, -INF, t_max)
     inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
     tc = triangle_constants(tri)
 

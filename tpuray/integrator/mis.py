@@ -68,7 +68,10 @@ def trace_paths_mis(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
     normal0 = jnp.zeros((n, 3), jnp.float32)
 
     for bounce in range(cfg.max_tracing_depth):
-        t, idx = pt.trace(scene.bvh, scene.triangles, orig, d,
+        # dead-lane masking: terminated paths get t_max = 0 so all-dead
+        # packets skip the BVH walk entirely (see path_tracer.trace_paths)
+        b_tmax = pt.INF if bounce == 0 else jnp.where(alive, pt.INF, 0.0)
+        t, idx = pt.trace(scene.bvh, scene.triangles, orig, d, t_max=b_tmax,
                           common_origin=common_origin and bounce == 0)
         hit = pt.resolve_hit(scene, orig, d, t, idx, cfg, pk)
 
@@ -96,13 +99,13 @@ def trace_paths_mis(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
             r2, seed = rng.rand(seed)
         l_light = env.sample_env_packed(pk.env_cache_q, r1, r2)
         front = jnp.sum(hit.normal * l_light, axis=-1) > 0.0
+        s_tmax = jnp.where(alive & front, pt.INF, 0.0)
         _, sidx = pt.trace(scene.bvh, scene.triangles, hit.point, l_light,
-                           any_hit=True)
+                           t_max=s_tmax, any_hit=True)
         unblocked = sidx < 0
         radiance_l = env.env_radiance_packed(pk.env_image_q, l_light)
         pdf_light = env.env_pdf_packed(pk.env_cache_q, l_light)
-        f_r_l = disney.evaluate(v, hit.normal, l_light, hit.mat)
-        pdf_brdf_l = disney.pdf(v, hit.normal, l_light, hit.mat)
+        f_r_l, pdf_brdf_l = disney.evaluate_pdf(v, hit.normal, l_light, hit.mat)
         w_l = mis_mix_weight(pdf_light, pdf_brdf_l)
         ndotl_l = jnp.maximum(jnp.sum(hit.normal * l_light, axis=-1), 0.0)
         contrib_l = (w_l[..., None] * history * radiance_l * f_r_l
@@ -122,11 +125,11 @@ def trace_paths_mis(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
         ndotl = jnp.sum(hit.normal * l_new, axis=-1)
         alive = alive & (ndotl > 0.0)
 
-        f_r = disney.evaluate(v, hit.normal, l_new, hit.mat)
-        pdf_brdf = disney.pdf(v, hit.normal, l_new, hit.mat)
+        f_r, pdf_brdf = disney.evaluate_pdf(v, hit.normal, l_new, hit.mat)
         alive = alive & (pdf_brdf > 0.0)
 
-        t2, idx2 = pt.trace(scene.bvh, scene.triangles, hit.point, l_new)
+        t2, idx2 = pt.trace(scene.bvh, scene.triangles, hit.point, l_new,
+                            t_max=jnp.where(alive, pt.INF, 0.0))
         next_missed = idx2 < 0
 
         env_rad2 = env.env_radiance_packed(pk.env_image_q, l_new)

@@ -179,7 +179,8 @@ def resolve_hit(scene: Scene, orig: Array, d: Array, t: Array, idx: Array,
 
 
 def _env_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array,
-             r1: Array, r2: Array, tile_repeat: int = 1) -> tuple[Array, Array]:
+             r1: Array, r2: Array, tile_repeat: int = 1,
+             active: Array | None = None) -> tuple[Array, Array]:
     """Envmap light sample with shadow ray (hdriLight,
     path_tracing.frag:922-946). Returns (contribution, pdf).
 
@@ -200,7 +201,12 @@ def _env_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array,
     else:
         l, radiance, p = l_t, radiance_t, p_t
 
-    _, sidx = trace(scene.bvh, scene.triangles, hit.point, l, any_hit=True)
+    # dead lanes (terminated paths / sky pixels) get t_max = 0: the packet
+    # kernel treats them as inert, so all-dead screen tiles skip the whole
+    # walk. Their outputs are garbage but every consumer below re-masks.
+    s_tmax = INF if active is None else jnp.where(active, INF, 0.0)
+    _, sidx = trace(scene.bvh, scene.triangles, hit.point, l, t_max=s_tmax,
+                    any_hit=True)
     blocked = sidx >= 0
 
     f_r = disney.evaluate(v, hit.normal, l, hit.mat)
@@ -214,8 +220,8 @@ def _env_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array,
     return contrib, p
 
 
-def _point_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array, u: Array
-               ) -> tuple[Array, Array]:
+def _point_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array, u: Array,
+               active: Array | None = None) -> tuple[Array, Array]:
     """Point-light sample with shadow ray (calculatePointLight,
     path_tracing.frag:884-919): uniform light pick, pdf = 2*pi/n_lights,
     quadratic falloff."""
@@ -234,8 +240,9 @@ def _point_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array, u: Array
     dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-24))
     ldir = delta / dist[..., None]
 
+    s_tmax = dist if active is None else jnp.where(active, dist, 0.0)
     st, sidx = trace(scene.bvh, scene.triangles, hit.point, ldir,
-                     t_max=dist, any_hit=True)
+                     t_max=s_tmax, any_hit=True)
     shadowed = sidx >= 0
 
     pdf = jnp.full(dist.shape, 2.0 * PI / n_lights, jnp.float32)
@@ -319,7 +326,10 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
     normal0 = jnp.zeros((n, 3), jnp.float32)
 
     for bounce in range(cfg.max_tracing_depth):
-        t, idx = trace(scene.bvh, scene.triangles, orig, d,
+        # terminated paths stop paying for traversal: t_max = 0 marks the
+        # lane dead to the packet kernel (bounce 0: everything is alive)
+        b_tmax = INF if bounce == 0 else jnp.where(alive, INF, 0.0)
+        t, idx = trace(scene.bvh, scene.triangles, orig, d, t_max=b_tmax,
                        common_origin=common_origin and bounce == 0)
         hit = resolve_hit(scene, orig, d, t, idx, cfg, pk)
 
@@ -352,8 +362,7 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
         alive = alive & (ndotl > 0.0)
 
         # shade (frag:948-968): env NEE + point NEE + BSDF-emissive, weighted
-        f_r = disney.evaluate(v, hit.normal, l_new, hit.mat)
-        brdf_pdf = disney.pdf(v, hit.normal, l_new, hit.mat)
+        f_r, brdf_pdf = disney.evaluate_pdf(v, hit.normal, l_new, hit.mat)
         if coherent:
             # env NEE randoms stay per-tile (UNrepeated): the envmap
             # cache/pdf/radiance gathers then run at n_tiles rows
@@ -361,13 +370,14 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
             er2_t, tseed = rng.rand(tseed)
             lu, tseed = tile_rand(tseed)
             env_c, env_pdf_v = _env_nee(scene, pk, hit, v, er1_t, er2_t,
-                                        tile_repeat=_BLOCK)
+                                        tile_repeat=_BLOCK, active=alive)
         else:
             er1, seed = rng.rand(seed)
             er2, seed = rng.rand(seed)
             lu, seed = rng.rand(seed)
-            env_c, env_pdf_v = _env_nee(scene, pk, hit, v, er1, er2)
-        pt_c, pt_pdf_v = _point_nee(scene, pk, hit, v, lu)
+            env_c, env_pdf_v = _env_nee(scene, pk, hit, v, er1, er2,
+                                        active=alive)
+        pt_c, pt_pdf_v = _point_nee(scene, pk, hit, v, lu, active=alive)
         cos_term = jnp.abs(ndotl)[..., None]
         brdf_c = hit.mat.emissive * f_r * cos_term / jnp.maximum(brdf_pdf, 1e-12)[..., None]
 

@@ -60,7 +60,15 @@ def _kernel(meta_ref, aabb_ref, tverts_ref,
     else:
         ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
     dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
-    tmax = tmax_ref[...]
+    # dead lanes (t_max <= 0: padding, or rays masked off by the integrator
+    # — sky pixels, terminated paths) are snapped to -INF so they can never
+    # pass a slab test even when their origin sits inside a node's AABB
+    # (there t0 is negative and `t0 < limit` would admit them). A packet
+    # whose rays are ALL dead fails the root test and costs nothing — this
+    # is what lets the integrator skip whole sky tiles on secondary rays.
+    tmax_in = tmax_ref[...]
+    dead = tmax_in <= 0.0
+    tmax = jnp.where(dead, -INF, tmax_in)
 
     def safe_inv(v):
         tiny = jnp.where(v < 0, np.float32(-1e-20), np.float32(1e-20))
@@ -194,8 +202,10 @@ def _kernel(meta_ref, aabb_ref, tverts_ref,
         node = stack_ref[sp]
         sp = expand(node, True, sp)
         if any_hit:
-            # all rays found their hit -> stop the walk
-            sp = jnp.where(jnp.all(idx_scr[...] >= 0), 0, sp)
+            # all live rays found their hit -> stop the walk (dead lanes
+            # never record a hit; without the `| dead` a single masked-off
+            # ray would force the full walk)
+            sp = jnp.where(jnp.all((idx_scr[...] >= 0) | dead), 0, sp)
         return sp
 
     t_scr[...] = jnp.full((PACKET_ROWS, PACKET_LANES), INF, jnp.float32)
