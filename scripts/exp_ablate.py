@@ -66,22 +66,38 @@ def main():
     tm = jnp.full((n,), tp.INF)
     n_traces = 3 * cfg.max_tracing_depth
 
-    def frame_traces(o, d):
+    # realistic secondary rays: per-pixel pseudo-random unit directions
+    # (rolled camera dirs stay a tight per-packet cone and underestimate
+    # the real incoherent cost by ~5x)
+    def rand_dirs(salt):
+        import tpuray.sampling.rng as rng
+        u1, s = rng.rand(rng.pixel_seed(xx, yy, salt))
+        u2, _ = rng.rand(s)
+        z = u1 * 2.0 - 1.0
+        r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        phi = 2.0 * jnp.pi * u2
+        return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+    def frame_traces(o, d, live_frac):
         t, idx = tp.trace_packets(meta, aabb, tverts, o, d, tm, common_origin=True)
         outs = [t]
-        # fake bounce origin/dirs derived from the hit (same data deps)
+        # fake bounce origin + incoherent dirs (same data deps as a frame)
         p = o + d * jnp.minimum(t, 10.0)[..., None]
+        # dead lanes cluster by tile (like sky regions): kill whole packets
+        mask = (jnp.arange(n) // tp.PACKET) % 10 < int(10 * live_frac)
+        tmk = jnp.where(mask, tp.INF, 0.0)
         for k in range(n_traces - 1):
-            dk = jnp.roll(d, k + 1, axis=0)
-            tk, ik = tp.trace_packets(meta, aabb, tverts, p, dk, tm,
+            dk = rand_dirs(k + 1)
+            tk, ik = tp.trace_packets(meta, aabb, tverts, p, dk, tmk,
                                       any_hit=(k % 3 != 0))
             outs.append(tk)
         return outs
 
-    f_tr = jax.jit(frame_traces)
-    ms = timed(lambda: f_tr(o, d)) * 1e3
-    print(json.dumps({"stage": f"{n_traces}_traversals", "ms": round(ms, 2)}),
-          flush=True)
+    f_tr = jax.jit(frame_traces, static_argnames=("live_frac",))
+    for frac in (1.0, 0.6):
+        ms = timed(lambda: f_tr(o, d, frac)) * 1e3
+        print(json.dumps({"stage": f"{n_traces}_traversals_live{frac}",
+                          "ms": round(ms, 2)}), flush=True)
 
     # 3. shading-only: stub out trace with a cheap fake.
     # NOTE: this monkeypatch relies on path_tracer and mis calling the
