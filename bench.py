@@ -1,13 +1,52 @@
-"""Benchmark: BVH traversal throughput (rays/s) on the flagship scene.
+"""Benchmark: headline + auxiliary metrics on the flagship scene.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline (BASELINE.md): >=100M rays/s/chip on the 1spp trace kernel.
-Uses the Pallas packet-traversal kernel on TPU, the XLA wavefront on CPU.
+stdout: ONE JSON line {"metric", "value", "unit", "vs_baseline"} — the
+headline BVH-traversal throughput (BASELINE.md: >=100M rays/s/chip).
+stderr: additional JSON lines for the other BASELINE.md metrics (full-frame
+ms, SVGF chain ms @1080p, incoherent rays/s, gradient check), each guarded
+by a wall-clock budget so a cold compile cache can never starve the
+headline (round-2 lesson: eager dispatch on the axon backend cost 472 s
+before the kernel ever ran — everything here is host numpy or jitted).
+
+Env: BENCH_BUDGET_S (default 420) caps total runtime; BENCH_FULL=1 (or
+--full) ignores the budget and runs every metric.
 """
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+T0 = time.perf_counter()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+FULL = "--full" in sys.argv or os.environ.get("BENCH_FULL") == "1"
+
+
+def elapsed() -> float:
+    return time.perf_counter() - T0
+
+
+def have_time(estimate_s: float) -> bool:
+    return FULL or elapsed() + estimate_s < BUDGET_S
+
+
+def emit(obj: dict, to_stdout: bool = False) -> None:
+    stream = sys.stdout if to_stdout else sys.stderr
+    print(json.dumps(obj), file=stream, flush=True)
+
+
+def timed(fn, sync, iters: int, trials: int = 3) -> float:
+    fn()
+    sync()
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fn()
+        sync()  # host transfer: axon block_until_ready can return early
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def main() -> None:
@@ -18,12 +57,10 @@ def main() -> None:
     from tpuray.utils.platform import enable_compile_cache
     enable_compile_cache()
 
-    from tpuray.integrator.path_tracer import trace
-    from tpuray.scene.camera import OrbitCamera
-
     on_cpu = jax.default_backend() == "cpu"
 
     # flagship scene: the reference's clock model if present, else procedural
+    # (host numpy + native C++ BVH build; device transfers only)
     try:
         from tpuray.scene.builder import reference_default_scene
         scene = reference_default_scene()
@@ -31,56 +68,229 @@ def main() -> None:
         from tpuray.scene.procedural import make_test_scene
         scene = make_test_scene(subdiv=3)
 
-    # reference render resolution (Utils/camera.h:5-6); smaller on CPU
+    from tpuray.scene.camera import OrbitCamera
     width = height = 800 if not on_cpu else 128
     cam = OrbitCamera(width=width, height=height).snapshot()
 
-    # canonical tile-major ray order (each traversal packet = a screen tile)
-    from tpuray.render.tiling import tile_pixel_coords
-    xx, yy = tile_pixel_coords(height, width)
+    # -- primary rays in canonical tile-major order, generated in HOST numpy
+    # (each eager jnp op is a separate remote dispatch on the axon backend)
+    from tpuray.render.tiling import tile_pixel_coords_np
+    xx, yy = tile_pixel_coords_np(height, width)
     n_rays = int(xx.shape[0])
-    xs = (2.0 * (xx.astype(jnp.float32) + 0.5) / width - 1.0) * cam.tan_half_fov
-    ys = -(2.0 * (yy.astype(jnp.float32) + 0.5) / height - 1.0) * cam.tan_half_fov
-    d_cam = jnp.stack([xs, ys, -jnp.ones_like(xs)], axis=-1)
-    d = jnp.einsum("ij,nj->ni", cam.cam_to_world, d_cam)
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    o = jnp.broadcast_to(cam.eye, (n_rays, 3))
+    xs = ((2.0 * (xx.astype(np.float32) + 0.5) / width - 1.0)
+          * float(cam.tan_half_fov))
+    ys = (-(2.0 * (yy.astype(np.float32) + 0.5) / height - 1.0)
+          * float(cam.tan_half_fov))
+    d_cam = np.stack([xs, ys, -np.ones_like(xs)], axis=-1)
+    d_np = d_cam @ np.asarray(cam.cam_to_world, np.float32).T
+    d_np /= np.linalg.norm(d_np, axis=-1, keepdims=True)
+    o_np = np.broadcast_to(np.asarray(cam.eye, np.float32), (n_rays, 3))
 
     if on_cpu:
-        fn = lambda o, d: trace(scene.bvh, scene.triangles, o, d)
+        from tpuray.integrator.path_tracer import trace
+        o = jnp.asarray(o_np)
+        d = jnp.asarray(d_np)
+        fn = lambda: trace(scene.bvh, scene.triangles, o, d)
+        state = {}
+
+        def run():
+            state["out"] = fn()
+
+        def sync():
+            np.asarray(state["out"][0][:1])
+
+        dt = timed(run, sync, iters=3, trials=1)
     else:
         # BASELINE.md's metric is the Pallas BVH megakernel itself: bench it
-        # with the scene tables pre-packed (a real renderer packs once)
+        # with the scene tables pre-packed (a real renderer packs once).
+        # Packing is ONE jitted call (~60 reshuffle ops — eager, they cost
+        # minutes of per-op dispatch on this backend; jitted, milliseconds).
         from tpuray.kernels import trace_pallas as tp
-        meta, aabb, tverts = jax.device_put(
-            tp.pack_scene(scene.bvh, scene.triangles))
-        tm = jnp.full((n_rays,), tp.INF)
-        # camera primaries share one origin -> scalar-core origin hoist
-        fn = jax.jit(lambda o, d: tp.trace_packets(
-            meta, aabb, tverts, o, d, tm, common_origin=True))
+        pack = jax.jit(tp.pack_scene)
+        meta, aabb, tverts = pack(scene.bvh, scene.triangles)
+        o = jax.device_put(jnp.asarray(o_np))
+        d = jax.device_put(jnp.asarray(d_np))
+        tm = jax.device_put(jnp.full((n_rays,), tp.INF))
 
-    t, idx = fn(o, d)
-    _ = np.asarray(t[:1])  # compile + warmup (host transfer: the axon
-    # backend's block_until_ready can return before execution finishes)
+        state = {}
 
-    iters = 20 if not on_cpu else 3
-    best = float("inf")
-    for _trial in range(3 if not on_cpu else 1):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            t, idx = fn(o, d)
-        _ = np.asarray(t[:1])  # device queue is serialized: forces all iters
-        best = min(best, (time.perf_counter() - t0) / iters)
-    dt = best
+        def run():
+            # camera primaries share one origin -> scalar-core origin hoist
+            state["out"] = tp.trace_packets(meta, aabb, tverts, o, d, tm,
+                                            common_origin=True)
+
+        def sync():
+            np.asarray(state["out"][0][:1])
+
+        dt = timed(run, sync, iters=20, trials=3)
 
     rays_per_s = n_rays / dt
     baseline = 100e6  # BASELINE.md target rays/s/chip
-    print(json.dumps({
+    emit({
         "metric": "trace_rays_per_second",
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": rays_per_s / baseline,
-    }))
+    }, to_stdout=True)
+
+    if on_cpu:
+        return  # aux metrics are TPU measurements
+
+    # ---------------- auxiliary metrics (stderr JSON lines) ----------------
+    import jax
+
+    # incoherent-ray throughput: directions from a hashed pseudo-random
+    # stream, origins scattered on the primary hit points (the secondary-ray
+    # regime that dominates frame time — docs/perf.md)
+    if have_time(60):
+        try:
+            from tpuray.kernels import trace_pallas as tp
+
+            @jax.jit
+            def incoherent_inputs(o, d, t):
+                p = o + d * jnp.minimum(t, 10.0)[..., None]
+                i = jnp.arange(n_rays, dtype=jnp.uint32)
+                def h(x):
+                    x = (x ^ jnp.uint32(61)) ^ (x >> 16)
+                    x = x * jnp.uint32(9)
+                    x = x ^ (x >> 4)
+                    x = x * jnp.uint32(0x27d4eb2d)
+                    return (x ^ (x >> 15)).astype(jnp.uint32)
+                u1 = h(i).astype(jnp.float32) / np.float32(2**32)
+                u2 = h(i * jnp.uint32(7919)).astype(jnp.float32) / np.float32(2**32)
+                ct = 1.0 - 2.0 * u1
+                st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+                phi = 2.0 * np.pi * u2
+                dirs = jnp.stack([st * jnp.cos(phi), ct, st * jnp.sin(phi)], -1)
+                return p, dirs
+
+            t_prim = state["out"][0]
+            p_inc, d_inc = incoherent_inputs(o, d, t_prim)
+
+            def run_inc():
+                state["inc"] = tp.trace_packets(meta, aabb, tverts,
+                                                p_inc, d_inc, tm)
+
+            def sync_inc():
+                np.asarray(state["inc"][0][:1])
+
+            dt_inc = timed(run_inc, sync_inc, iters=10, trials=3)
+            emit({"metric": "trace_incoherent_rays_per_second",
+                  "value": n_rays / dt_inc, "unit": "rays/s",
+                  "vs_baseline": (n_rays / dt_inc) / baseline})
+        except Exception as e:  # aux metrics must never kill the headline
+            emit({"metric": "trace_incoherent_rays_per_second",
+                  "error": repr(e)[:200]})
+
+    # full-frame latency (PT + SVGF + TAA) at the reference's 800x800,
+    # moving camera (worst case)
+    if have_time(150):
+        try:
+            from tpuray import Renderer, RenderConfig
+            from tpuray.scene.camera import OrbitCamera as OC
+            cfg = RenderConfig(width=width, height=height)
+            r = Renderer(scene, cfg)
+            ocam = OC(width=width, height=height)
+            fstate = {}
+
+            def frame_moving():
+                ocam.rotate(0.05, 0.0)
+                fstate["out"] = r.step(ocam.snapshot())
+
+            def sync_f():
+                np.asarray(fstate["out"].final[:1, :1])
+
+            dt_f = timed(frame_moving, sync_f, iters=5, trials=3)
+            emit({"metric": f"frame_ms_moving_{width}px",
+                  "value": round(dt_f * 1e3, 2), "unit": "ms/frame",
+                  "fps": round(1.0 / dt_f, 1),
+                  "vs_baseline": (1.0 / dt_f) / 15.0})  # 15 fps target
+        except Exception as e:
+            emit({"metric": f"frame_ms_moving_{width}px", "error": repr(e)[:200]})
+
+    # SVGF denoise chain @1080p, moving camera (BASELINE.md metric)
+    if have_time(90):
+        try:
+            from tpuray.denoise.svgf import svgf_pipeline
+            from tpuray.integrator.gbuffer import GBuffer
+            from tpuray.render.frame_state import FrameState
+            from tpuray.scene.config import RenderConfig
+            h, w = 1080, 1920
+            cfg = RenderConfig(width=w, height=h)
+
+            @jax.jit
+            def svgf_inputs(key):
+                ks = jax.random.split(key, 12)
+                img3 = lambda k: jax.random.uniform(k, (h, w, 3))
+                img1 = lambda k: jax.random.uniform(k, (h, w))
+                nrm = img3(ks[0]) * 2 - 1
+                nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+                gbuf = GBuffer(
+                    normal=nrm, linear_z=img1(ks[3]) * 0.9,
+                    velocity=(img3(ks[4])[..., :2] - 0.5) * 0.01,
+                    fwidth_normal=img1(ks[5]) * 0.1,
+                    fwidth_z=img1(ks[6]) * 0.01,
+                    world_pos=img3(ks[1]) * 4 - 2)
+                st = FrameState.initial(h, w).replace(
+                    illum_hist=img3(ks[7]), variance_hist=img1(ks[8]) * 0.1,
+                    prev_normal=nrm, prev_linear_z=gbuf.linear_z,
+                    moments=jax.random.uniform(ks[9], (h, w, 2)),
+                    history_len=jnp.full((h, w), 8.0),
+                    frame_idx=jnp.int32(8))
+                return (gbuf, st, img3(ks[10]), img3(ks[11]) * 0.05,
+                        img3(ks[0]) + 0.2)
+
+            gbuf, st, color, emi, alb = svgf_inputs(jax.random.PRNGKey(0))
+            f = jax.jit(lambda c: svgf_pipeline(c, emi, alb, gbuf, st, cfg,
+                                                static_camera=False).taa)
+            sstate = {}
+
+            def run_s():
+                sstate["out"] = f(color)
+
+            def sync_s():
+                np.asarray(sstate["out"][:1, :1])
+
+            dt_s = timed(run_s, sync_s, iters=5, trials=3)
+            emit({"metric": "svgf_chain_ms_moving_1080p",
+                  "value": round(dt_s * 1e3, 2), "unit": "ms"})
+        except Exception as e:
+            emit({"metric": "svgf_chain_ms_moving_1080p", "error": repr(e)[:200]})
+
+    # gradient fidelity: d(mean image)/d(roughness scalar) vs central FD on
+    # a small frame — the BASELINE "gradient allclose" spot check
+    if have_time(90):
+        try:
+            from tpuray.render.renderer import render_frame
+            from tpuray.render.frame_state import FrameState
+            from tpuray.scene.config import RenderConfig
+            gh = gw = 128
+            gcfg = RenderConfig(width=gw, height=gh, max_tracing_depth=2,
+                                num_atrous_iterations=2)
+            gcam = OrbitCamera(width=gw, height=gh).snapshot()
+            st0 = FrameState.initial(gh, gw)
+
+            def loss_of(rough):
+                mats = scene.materials._replace(
+                    roughness=jnp.abs(scene.materials.roughness) * 0.0 + rough)
+                sc = scene._replace(materials=mats)
+                _, out = render_frame(sc, gcam, st0, gcfg, gh, gw)
+                return jnp.mean(out.pt_color)
+
+            gfn = jax.jit(jax.grad(loss_of))
+            lfn = jax.jit(loss_of)
+            g = float(gfn(jnp.float32(0.5)))
+            eps = 1e-2
+            fd = (float(lfn(jnp.float32(0.5 + eps)))
+                  - float(lfn(jnp.float32(0.5 - eps)))) / (2 * eps)
+            rel = abs(g - fd) / max(abs(fd), 1e-8)
+            emit({"metric": "gradcheck_rel_err", "value": rel,
+                  "unit": "relative", "grad": g, "fd": fd,
+                  "pass": bool(rel < 0.05)})
+        except Exception as e:
+            emit({"metric": "gradcheck_rel_err", "error": repr(e)[:200]})
+
+    emit({"metric": "bench_total_s", "value": round(elapsed(), 1), "unit": "s"})
 
 
 if __name__ == "__main__":

@@ -84,7 +84,7 @@ def main():
         # fake bounce origin + incoherent dirs (same data deps as a frame)
         p = o + d * jnp.minimum(t, 10.0)[..., None]
         # dead lanes cluster by tile (like sky regions): kill whole packets
-        mask = (jnp.arange(n) // tp.PACKET) % 10 < int(10 * live_frac)
+        mask = (jnp.arange(n) // tp.PACKET) % 10 < round(10 * live_frac)
         tmk = jnp.where(mask, tp.INF, 0.0)
         for k in range(n_traces - 1):
             dk = rand_dirs(k + 1)

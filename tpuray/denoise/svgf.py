@@ -26,10 +26,11 @@ Array = jax.Array
 
 def _on_tpu() -> bool:
     """Trace-time backend check: the Pallas stencils are TPU-only.
-    NB: this container's TPU backend is named 'axon', not 'tpu' — match the
-    non-CPU check used by the trace-kernel gate (path_tracer._use_pallas)."""
+    Matches TPU-like platforms explicitly ('tpu', or this container's
+    tunnelled backend 'axon') — a GPU backend must NOT take this path
+    (same gate as path_tracer._use_pallas)."""
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() in ("tpu", "axon")
     except RuntimeError:
         return False
 

@@ -163,7 +163,10 @@ def evaluate_aniso(v: Array, n: Array, l: Array, x: Array, y: Array,
     path_tracing.frag:557-618, aniso branch commented at :583-593); here it
     is a first-class evaluator: GTR2_aniso specular with aspect-split
     alphas and anisotropic Smith-GGX, identical diffuse/sheen/clearcoat
-    terms. Reduces to evaluate() when mat.anisotropic == 0 up to the
+    terms. NB: no integrator path builds a tangent frame or calls this yet
+    (faithful to the reference, whose aniso branch is commented out) — a
+    builder user setting mat.anisotropic > 0 still renders isotropic; this
+    evaluator is the test/parity surface for wiring that up. Reduces to evaluate() when mat.anisotropic == 0 up to the
     Smith-G alpha convention (reference isotropic G uses roughness, not
     roughness^2 — kept faithfully in both paths)."""
     ndotl = jnp.sum(n * l, axis=-1)

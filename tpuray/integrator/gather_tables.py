@@ -161,7 +161,11 @@ def pack_texture_stack(tex: Array) -> Array:
     Stored as bf16 scaled by 255: TPU gathers run ~3x faster on 16-bit rows
     (measured: 2.8 vs 8.4 ms / 640k rows on v5e, any width), and 8-bit
     texel values are integers 0..255 — exact in bf16 — so for byte-sourced
-    textures (the reference's BMPs) the fetch is bit-identical to f32."""
+    textures (the reference's BMPs) the fetch is bit-identical to f32.
+
+    PRECONDITION: exactness holds only for byte-sourced inputs (values on
+    the k/255 grid, e.g. decoded BMP/PNG). Float-valued stacks (procedural
+    or HDR maps) quantize by up to ~0.2% after the *255 bf16 encode."""
     combined = jnp.concatenate([
         tex[:, 0],                 # albedo rgb
         tex[:, 1, ..., :1],        # metallic r
@@ -216,10 +220,11 @@ def pack_scene_tables(scene: Scene) -> PackedScene:
     from tpuray.sampling.envmap import pack_env_nee_table
     return PackedScene(
         tri_table=pack_tri_table(scene.triangles),
-        # radiance rows in bf16: 3x-faster 16-bit gather; 0.2% relative
-        # quantization on HDR radiance (invisible; cache/NEE tables that
-        # feed pdfs stay f32 so the estimator stays unbiased)
-        env_image_q=quad_pack_image(scene.envmap.image).astype(jnp.bfloat16),
+        # miss/NEE radiance stays f32: bf16 rows gather 3x faster but the
+        # ~0.26% quantization silently changes 1spp output (image-parity is
+        # asserted at rtol=1e-5 in tests/test_integrator.py). Quantization is
+        # reserved for tables where exactness is provable (pack_texture_stack).
+        env_image_q=quad_pack_image(scene.envmap.image),
         env_cache_q=quad_pack_image(scene.envmap.cache),
         mat_table=pack_material_table(scene.materials),
         light_table=pack_lights(scene.lights),

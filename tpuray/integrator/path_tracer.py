@@ -54,7 +54,9 @@ def _use_pallas() -> bool:
         return True
     if _TRACE_BACKEND == "xla":
         return False
-    return jax.default_backend() not in ("cpu",)
+    # TPU-like platforms only ('axon' = this container's tunnelled TPU).
+    # A GPU backend must fall back to the XLA wavefront, not Pallas-TPU.
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def trace(bvh, tri, orig, d, t_max=INF, any_hit=False, common_origin=False):

@@ -29,6 +29,20 @@ def tile_pixel_coords(height: int, width: int) -> tuple[jax.Array, jax.Array]:
     return xx.astype(jnp.int32), yy.astype(jnp.int32)
 
 
+def tile_pixel_coords_np(height: int, width: int):
+    """Host-numpy twin of tile_pixel_coords (identical values). Benchmarks
+    and other eager callers use this: on the axon backend every eager jnp op
+    is a separate remote dispatch."""
+    import numpy as np
+    hp, wp = padded_size(height), padded_size(width)
+    ty, tx, iy, ix = np.meshgrid(
+        np.arange(hp // TILE), np.arange(wp // TILE),
+        np.arange(TILE), np.arange(TILE), indexing="ij")
+    xx = (tx * TILE + ix).reshape(-1)
+    yy = (ty * TILE + iy).reshape(-1)
+    return xx.astype(np.int32), yy.astype(np.int32)
+
+
 def untile(flat: jax.Array, height: int, width: int) -> jax.Array:
     """(N, ...) tile-major -> (H, W, ...) image (cropping padding)."""
     hp, wp = padded_size(height), padded_size(width)
