@@ -102,3 +102,115 @@ def test_env_cache_native_matches_fallback(rng):
     assert (f[..., 0] >= 0).all() and (f[..., 0] < 1).all()
     assert (f[..., 1] >= 0).all() and (f[..., 1] < 1).all()
     np.testing.assert_allclose(f[..., 2].sum(), 1.0, atol=1e-5)
+
+
+def _write_tga(path, img, rle=False, origin_top=False):
+    """Minimal TGA writer for decoder tests (24bpp BGR)."""
+    h, w = img.shape[:2]
+    desc = 0x20 if origin_top else 0
+    hdr = bytes([0, 0, 10 if rle else 2, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                 w & 0xFF, w >> 8, h & 0xFF, h >> 8, 24, desc])
+    rows = img if origin_top else img[::-1]
+    bgr = rows[..., ::-1].reshape(-1, 3)
+    if not rle:
+        body = bgr.tobytes()
+    else:
+        out = bytearray()
+        i = 0
+        px = bgr.tolist()
+        n = len(px)
+        while i < n:
+            run = 1
+            while (i + run < n and run < 128 and px[i + run] == px[i]
+                   and (i + run) % w != 0):
+                run += 1
+            if run > 1:
+                out.append(0x80 | (run - 1))
+                out.extend(px[i])
+                i += run
+            else:
+                j = i + 1
+                while (j < n and j - i < 128 and j % w != 0
+                       and (j + 1 >= n or px[j + 1] != px[j])):
+                    j += 1
+                out.append((j - i) - 1)
+                for k in range(i, j):
+                    out.extend(px[k])
+                i = j
+        body = bytes(out)
+    with open(path, "wb") as f:
+        f.write(hdr + body)
+
+
+def test_tga_decode(tmp_path, rng):
+    from tpuray.io.image import read_tga
+    img = (rng.random((6, 5, 3)) * 255).astype(np.uint8)
+    for rle in (False, True):
+        for top in (False, True):
+            p = str(tmp_path / f"t_{rle}_{top}.tga")
+            _write_tga(p, img, rle=rle, origin_top=top)
+            got = read_tga(p)
+            np.testing.assert_array_equal(
+                (got * 255 + 0.5).astype(np.uint8), img)
+
+
+def test_read_image_dispatch(tmp_path, rng):
+    from tpuray.io.image import read_image, write_bmp, write_png
+    img = (rng.random((5, 7, 3)) * 255).astype(np.uint8)
+    pb = str(tmp_path / "a.bmp")
+    pp = str(tmp_path / "a.png")
+    pt = str(tmp_path / "a.tga")
+    write_bmp(pb, img)
+    write_png(pp, img)
+    _write_tga(pt, img)
+    for p in (pb, pp, pt):
+        got = read_image(p)
+        assert got.shape == (5, 7, 3) and got.dtype == np.float32
+        np.testing.assert_array_equal((got * 255 + 0.5).astype(np.uint8), img)
+    # HDR dispatch keeps dynamic range
+    fimg = (rng.random((4, 8, 3)) * 10).astype(np.float32)
+    ph = str(tmp_path / "a.hdr")
+    fallback.write_hdr_py(ph, fimg)
+    got = read_image(ph)
+    assert got.max() > 1.5
+    # JPEG via PIL (baked into this container)
+    try:
+        from PIL import Image
+        pj = str(tmp_path / "a.jpg")
+        Image.fromarray(np.zeros((4, 4, 3), np.uint8) + 128).save(pj)
+        got = read_image(pj)
+        assert got.shape == (4, 4, 3)
+        np.testing.assert_allclose(got, 128 / 255.0, atol=0.02)
+    except ImportError:
+        pass
+
+
+def test_asset_root_resolution(tmp_path, monkeypatch):
+    from tpuray.io import filesystem
+    (tmp_path / "models").mkdir()
+    (tmp_path / "models" / "thing.obj").write_text("v 0 0 0\n")
+    with pytest.raises(FileNotFoundError):
+        filesystem.resolve("models/thing.obj")
+    monkeypatch.setenv("TPURAY_ASSET_ROOT", str(tmp_path))
+    assert filesystem.resolve("models/thing.obj") == str(
+        tmp_path / "models" / "thing.obj")
+    monkeypatch.delenv("TPURAY_ASSET_ROOT")
+    filesystem.add_root(tmp_path)
+    try:
+        assert filesystem.resolve("models/thing.obj").endswith("thing.obj")
+    finally:
+        filesystem._extra_roots.clear()
+    # absolute and cwd-relative paths pass through
+    assert filesystem.resolve(str(tmp_path / "models" / "thing.obj"))
+
+
+def test_texture_layer_from_file(tmp_path, rng):
+    from tpuray.scene.builder import _load_texture_layer
+    from tpuray.io.image import write_png
+    img = (rng.random((8, 8, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "alb.png")
+    write_png(p, img)
+    got = _load_texture_layer(p)
+    np.testing.assert_array_equal((got * 255 + 0.5).astype(np.uint8), img)
+    arr = rng.random((4, 4, 3)).astype(np.float32)
+    np.testing.assert_array_equal(_load_texture_layer(arr), arr)

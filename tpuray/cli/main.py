@@ -25,7 +25,7 @@ def _build_scene(name: str, quirks: bool):
     if name == "table":
         from tpuray.scene.builder import ObjectSpec, build_scene
         return build_scene(
-            [ObjectSpec(path="/root/reference/models/table.obj",
+            [ObjectSpec(path="models/table.obj",
                         material=dict(base_color=(0.7, 0.5, 0.3), roughness=0.4))],
             reference_quirks=quirks)
     from tpuray.scene.procedural import make_test_scene
@@ -182,6 +182,9 @@ def cmd_bench(args) -> int:
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="tpuray")
+    p.add_argument("--asset-root", default=None,
+                   help="extra asset root searched before the defaults "
+                        "(also settable via $TPURAY_ASSET_ROOT)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pr = sub.add_parser("render", help="progressive render to PNG")
@@ -243,6 +246,9 @@ def main(argv=None) -> int:
     pb.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
+    if args.asset_root:
+        from tpuray.io.filesystem import add_root
+        add_root(args.asset_root)
     return args.fn(args)
 
 

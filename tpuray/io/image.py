@@ -1,7 +1,10 @@
-"""Image decode/encode: BMP (reference texture format) and PNG output.
+"""Image decode/encode: BMP, PNG, TGA, JPEG in; BMP/PNG out.
 
-BMP covers the reference's stb_image usage (help_func.h:4-20). PNG writing is
-a minimal uncompressed-zlib encoder for saving renders without new deps.
+BMP covers the reference's stb_image usage (help_func.h:4-20); the wider
+read_image() dispatcher covers the rest of the stb_image formats a scene
+author would actually feed in (PNG/TGA native-python decoders here; JPEG via
+the baked-in PIL — stb's other formats, PSD/PIC/PNM, have no assets in this
+domain and raise a clear error pointing at the PNG converter path).
 """
 from __future__ import annotations
 
@@ -117,3 +120,85 @@ def write_png(path: str, img: np.ndarray) -> None:
     """img: (H, W, 3) float in [0,1] or uint8."""
     with open(path, "wb") as f:
         f.write(encode_png(img))
+
+
+def read_tga(path: str) -> np.ndarray:
+    """Truevision TGA decoder (types 2/3 uncompressed, 10/11 RLE; 8/24/32
+    bpp) -> (H, W, 3) float32 in [0,1]. Covers stb_image's TGA support for
+    scene textures."""
+    with open(path, "rb") as f:
+        data = f.read()
+    id_len = data[0]
+    cmap_type = data[1]
+    img_type = data[2]
+    assert cmap_type == 0, "color-mapped TGA unsupported"
+    assert img_type in (2, 3, 10, 11), f"TGA type {img_type} unsupported"
+    w = int.from_bytes(data[12:14], "little")
+    h = int.from_bytes(data[14:16], "little")
+    bpp = data[16]
+    descriptor = data[17]
+    assert bpp in (8, 24, 32), f"TGA {bpp}bpp unsupported"
+    nch = bpp // 8
+    pos = 18 + id_len + int.from_bytes(data[3:5], "little")  # + colormap len
+
+    if img_type in (2, 3):  # uncompressed
+        px = np.frombuffer(data, np.uint8, w * h * nch, pos).reshape(h, w, nch)
+    else:  # RLE
+        out = np.empty(w * h * nch, np.uint8)
+        written = 0
+        total = w * h * nch
+        while written < total:
+            hdr = data[pos]
+            pos += 1
+            count = (hdr & 0x7F) + 1
+            if hdr & 0x80:  # run packet: one pixel repeated
+                pix = np.frombuffer(data, np.uint8, nch, pos)
+                pos += nch
+                out[written:written + count * nch] = np.tile(pix, count)
+            else:  # raw packet
+                n = count * nch
+                out[written:written + n] = np.frombuffer(data, np.uint8, n, pos)
+                pos += n
+            written += count * nch
+        px = out.reshape(h, w, nch)
+
+    if nch == 1:
+        rgb = np.repeat(px, 3, axis=-1)
+    else:
+        rgb = px[..., 2::-1]  # BGR(A) -> RGB
+    if not (descriptor & 0x20):  # origin bottom-left unless bit 5 set
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb).astype(np.float32) / 255.0
+
+
+def read_image(path: str) -> np.ndarray:
+    """Decode any supported texture image -> (H, W, 3) float32 in [0,1]
+    (HDR images keep their dynamic range). Dispatch is by magic bytes with
+    extension fallback; the stb_image-shaped entry point for scene authors
+    (help_func.h:4-20 only ever feeds BMP, but stb accepts more)."""
+    with open(path, "rb") as f:
+        magic = f.read(11)
+    if magic[:8] == b"\x89PNG\r\n\x1a\n":
+        return read_png(path)
+    if magic[:2] == b"BM":
+        return read_bmp(path)[..., :3].astype(np.float32) / 255.0
+    if magic[:2] == b"\xff\xd8":  # JPEG SOI
+        try:
+            from PIL import Image
+            with Image.open(path) as im:
+                arr = np.asarray(im.convert("RGB"), np.uint8)
+            return arr.astype(np.float32) / 255.0
+        except ImportError as e:
+            raise NotImplementedError(
+                f"JPEG decode for {path} needs PIL (absent); convert to PNG "
+                f"first, e.g. with `convert`/`magick` or any image tool"
+            ) from e
+    if magic[:10] == b"#?RADIANCE" or magic[:6] == b"#?RGBE":
+        from tpuray.io.hdr import read_hdr
+        return read_hdr(path)
+    ext = path.rsplit(".", 1)[-1].lower()
+    if ext == "tga":  # TGA has no magic
+        return read_tga(path)
+    raise NotImplementedError(
+        f"unsupported image format for {path} (magic {magic[:4]!r}); "
+        "supported: PNG, BMP, TGA, JPEG, Radiance HDR")

@@ -34,13 +34,14 @@ _MATERIAL_DEFAULTS = dict(
 class ObjectSpec:
     """One model instance: geometry + material (+ optional texture layers)."""
 
-    path: str
+    path: str  # resolved against the asset roots (tpuray.io.filesystem)
     material: dict = dataclasses.field(default_factory=dict)
     rotate_deg: tuple = (0.0, 0.0, 0.0)
     translate: tuple = (0.0, 0.0, 0.0)
     scale: tuple = (1.0, 1.0, 1.0)
     smooth_normals: bool = True
-    # texture layers (H,W,3) float arrays or None: albedo, metallic, normal, roughness
+    # texture layers keyed albedo/metallic/normal/roughness: (H,W,3) float
+    # arrays, or image file paths (any tpuray.io.image.read_image format)
     textures: dict = dataclasses.field(default_factory=dict)
 
 
@@ -123,9 +124,10 @@ def build_scene(
     all_p, all_n, all_uv, all_mat, all_obj = [], [], [], [], []
     materials = []
     tex_layers = []
+    from tpuray.io.filesystem import resolve
     for i, spec in enumerate(objects):
         tm = transform_matrix(spec.rotate_deg, spec.translate, spec.scale)
-        geo = load_obj(spec.path, tm, spec.smooth_normals,
+        geo = load_obj(resolve(spec.path), tm, spec.smooth_normals,
                        reference_quirks=reference_quirks)
         t = geo["positions"].shape[0]
         all_p.append(geo["positions"])
@@ -136,6 +138,7 @@ def build_scene(
         materials.append(spec.material)
         if with_textures:
             layers = spec.textures or procedural_texture_layers(texture_res, seed=7 + i)
+            layers = {k: _load_texture_layer(v) for k, v in layers.items()}
             stack = np.stack([
                 _resize_nearest(layers["albedo"], texture_res),
                 _resize_nearest(layers["metallic"], texture_res),
@@ -186,6 +189,17 @@ def build_scene(
                  lights=lights, envmap=env, textures=textures)
 
 
+def _load_texture_layer(layer) -> np.ndarray:
+    """A texture layer spec is either an (H,W,3) float array or an image
+    file path (resolved against the asset roots, decoded by read_image —
+    the load_texture_to_material_array role, help_func.h:4-20)."""
+    if isinstance(layer, (str, bytes)):
+        from tpuray.io.filesystem import resolve
+        from tpuray.io.image import read_image
+        return read_image(resolve(layer))
+    return np.asarray(layer, np.float32)
+
+
 def _resize_nearest(img: np.ndarray, res: int) -> np.ndarray:
     img = np.asarray(img, np.float32)
     if img.shape[0] == res and img.shape[1] == res:
@@ -195,13 +209,16 @@ def _resize_nearest(img: np.ndarray, res: int) -> np.ndarray:
     return img[yi][:, xi]
 
 
-def reference_default_scene(reference_obj_dir: str = "/root/reference/models",
+def reference_default_scene(reference_obj_dir: str | None = None,
                             **kw) -> Scene:
     """The reference's startup scene (main.cpp:72-80: clock.obj, specular=0,
     clearcoat=0, textured base_color/metallic/roughness; 4 point lights
-    main.cpp:157-160; room envmap)."""
+    main.cpp:157-160; room envmap). Assets resolve against the configured
+    roots (tpuray.io.filesystem, $TPURAY_ASSET_ROOT) unless
+    reference_obj_dir pins a directory."""
     clock = ObjectSpec(
-        path=f"{reference_obj_dir}/clock.obj",
+        path=(f"{reference_obj_dir}/clock.obj" if reference_obj_dir
+              else "models/clock.obj"),
         material=dict(base_color=(-1.0, -1.0, -1.0), metallic=-1.0,
                       roughness=-1.0, specular=0.0, clearcoat=0.0,
                       clearcoat_gloss=0.0),
