@@ -265,24 +265,35 @@ def main() -> None:
             from tpuray.render.frame_state import FrameState
             from tpuray.scene.config import RenderConfig
             gh = gw = 128
+            # enable_svgf=False: the BASELINE gradient metric is d(image)/
+            # d(materials) of the *path-traced* frame; with SVGF on, jvp
+            # tracing would also enter the forward-only denoise Pallas
+            # kernels (no JVP rule)
             gcfg = RenderConfig(width=gw, height=gh, max_tracing_depth=2,
-                                num_atrous_iterations=2)
+                                enable_svgf=False)
             gcam = OrbitCamera(width=gw, height=gh).snapshot()
             st0 = FrameState.initial(gh, gw)
 
-            def loss_of(rough):
-                mats = scene.materials._replace(
-                    roughness=jnp.abs(scene.materials.roughness) * 0.0 + rough)
-                sc = scene._replace(materials=mats)
+            def loss_of(s):
+                # base-color scale: radiometric-only parameter — BSDF
+                # sampling (and therefore hit topology) is independent of
+                # it, so AD (which stops gradients through topology by
+                # design) and central FD measure the same derivative.
+                # Roughness-style parameters move the sampled bounce
+                # directions, and FD then includes discontinuous hit-point
+                # jumps that AD correctly excludes.
+                mats = scene.materials.replace(
+                    base_color=jnp.abs(scene.materials.base_color) * s)
+                sc = scene.replace(materials=mats)
                 _, out = render_frame(sc, gcam, st0, gcfg, gh, gw)
                 return jnp.mean(out.pt_color)
 
             gfn = jax.jit(jax.grad(loss_of))
             lfn = jax.jit(loss_of)
-            g = float(gfn(jnp.float32(0.5)))
+            g = float(gfn(jnp.float32(0.8)))
             eps = 1e-2
-            fd = (float(lfn(jnp.float32(0.5 + eps)))
-                  - float(lfn(jnp.float32(0.5 - eps)))) / (2 * eps)
+            fd = (float(lfn(jnp.float32(0.8 + eps)))
+                  - float(lfn(jnp.float32(0.8 - eps)))) / (2 * eps)
             rel = abs(g - fd) / max(abs(fd), 1e-8)
             emit({"metric": "gradcheck_rel_err", "value": rel,
                   "unit": "relative", "grad": g, "fd": fd,

@@ -122,3 +122,23 @@ def test_dead_lanes_inert(interp_trace, scene, rng):
     t_a, i_a = interp_trace.trace_pallas(scene.bvh, scene.triangles, o, d,
                                          t_max=tm, any_hit=True)
     assert (np.asarray(i_a)[dead] == -1).all()
+
+
+def test_grad_through_pallas_trace_is_zero_tangent(interp_trace, scene, rng):
+    """jax.grad through a function containing the packet kernel must not
+    raise (pallas_call has no JVP rule; trace_packets declares zero
+    tangents) and must route gradients around the traversal, matching the
+    BASELINE gradient check that differentiates a whole rendered frame."""
+    n = 256
+    o, d = make_rays(rng, n)
+
+    def f(o_var):
+        t, idx = interp_trace.trace_pallas(scene.bvh, scene.triangles,
+                                           o_var, d)
+        w = jnp.where(idx >= 0, 1.0, 0.0)  # topology: constant wrt o_var
+        return jnp.sum(w * o_var[:, 0]), idx
+
+    (val, idx), g = jax.value_and_grad(f, has_aux=True)(o)
+    mask = (np.asarray(idx) >= 0).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(g)[:, 0], mask)
+    np.testing.assert_allclose(np.asarray(g)[:, 1:], 0.0)

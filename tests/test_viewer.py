@@ -27,9 +27,16 @@ def server():
 
 
 def _get(server, path):
-    with urllib.request.urlopen(
-            f"http://127.0.0.1:{server.port}{path}", timeout=60) as r:
-        return r.status, dict(r.headers), r.read()
+    # the frame long-poll replies 204 (no X-Seq) if no new frame lands
+    # within its 25 s window — possible when the whole suite shares the
+    # CPU; retry until a frame arrives
+    for _ in range(8):
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}{path}", timeout=60) as r:
+            if r.status == 204 and path.startswith("/frame.png"):
+                continue
+            return r.status, dict(r.headers), r.read()
+    raise TimeoutError(f"no frame from {path} after 8 long-poll windows")
 
 
 def test_page_and_state(server):

@@ -61,11 +61,24 @@ def _use_pallas() -> bool:
 
 def trace(bvh, tri, orig, d, t_max=INF, any_hit=False, common_origin=False):
     if _use_pallas():
-        from tpuray.kernels.trace_pallas import scene_fits_smem, trace_pallas
-        if scene_fits_smem(bvh.count, tri.count):
-            return trace_pallas(bvh, tri, orig, d, t_max=t_max, any_hit=any_hit,
-                                common_origin=common_origin)
-        # scene scalar tables exceed the SMEM budget: fall back to the XLA
+        if bvh.chunk_nodes:
+            # chunked forest (scene/partition.py): the single-tree packet
+            # kernel would walk only chunk 0 — use the chunk-streaming
+            # kernel, which pipelines per-chunk tables through SMEM
+            from tpuray.kernels.trace_chunked import (
+                chunk_fits_smem, trace_chunked)
+            if chunk_fits_smem(bvh.chunk_nodes, bvh.chunk_tris):
+                return trace_chunked(bvh, tri, orig, d, t_max=t_max,
+                                     any_hit=any_hit,
+                                     common_origin=common_origin)
+        else:
+            from tpuray.kernels.trace_pallas import (
+                scene_fits_smem, trace_pallas)
+            if scene_fits_smem(bvh.count, tri.count):
+                return trace_pallas(bvh, tri, orig, d, t_max=t_max,
+                                    any_hit=any_hit,
+                                    common_origin=common_origin)
+        # chunk/scene tables exceed the SMEM budget: fall back to the XLA
         # wavefront (correct for any size, slower) rather than failing
     return trace_xla(bvh, tri, orig, d, t_max=t_max, any_hit=any_hit)
 

@@ -1,0 +1,343 @@
+"""Chunk-streaming Pallas packet traversal for beyond-SMEM scenes.
+
+The single-tree packet kernel (trace_pallas.py) keeps the whole scene's
+node/triangle constants in SMEM — a hard ~15-20k-triangle ceiling. This
+kernel removes it: the scene is a uniform forest of SMEM-sized chunks
+(scene/partition.py, BVHSoA.chunk_nodes/chunk_tris) whose tables live in
+HBM; the Pallas grid runs (packet, chunk) with the chunk tables as
+SMEM-*blocked* inputs, so the pipeline DMAs chunk c+1's tables into SMEM
+while the packet walks chunk c (automatic double buffering). Per-lane
+(t, idx) persist in VMEM scratch across the inner chunk loop, so later
+chunks are culled against the best hit so far, and a chunk whose root AABB
+misses every ray in the packet costs one slab test.
+
+The walk inside a chunk is the same scalar-stack packet DFS as
+trace_pallas._kernel, with identical per-triangle op order (bit-parity with
+integrator.intersect.ray_triangle_pre). Reference behavior being replaced:
+the per-fragment whole-scene stack walk of path_tracing.frag:372-424, which
+assumes the entire scene fits one GL texture buffer.
+"""
+from __future__ import annotations
+
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuray.integrator.intersect import triangle_constants
+from tpuray.kernels.trace_pallas import (
+    INF, MAX_LEAF, MAX_STACK, PACKET, PACKET_LANES, PACKET_ROWS, PARALLEL_EPS,
+    T_MIN)
+from tpuray.scene.types import BVHSoA, TriangleSoA
+
+Array = jax.Array
+
+
+def chunk_fits_smem(chunk_nodes: int, chunk_tris: int) -> bool:
+    """Whether one chunk's tables (x2 for pipeline double-buffering) fit the
+    SMEM budget. False -> callers use the XLA wavefront."""
+    per_chunk = (11 * int(chunk_nodes) + 12 * int(chunk_tris)) * 4
+    return 2 * per_chunk + 23 * 512 < 900_000
+
+
+def _kernel(meta_ref, aabb_ref, tverts_ref,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+            t_out, idx_out, t_scr, idx_scr, stack_ref,
+            *, chunk_tris: int, n_chunks: int, any_hit: bool,
+            common_origin: bool):
+    c = pl.program_id(1)
+    tri_base = c * chunk_tris
+
+    @pl.when(c == 0)
+    def _():
+        t_scr[...] = jnp.full((PACKET_ROWS, PACKET_LANES), INF, jnp.float32)
+        idx_scr[...] = jnp.full((PACKET_ROWS, PACKET_LANES), -1, jnp.int32)
+
+    if common_origin:
+        ox, oy, oz = ox_ref[0, 0], oy_ref[0, 0], oz_ref[0, 0]
+    else:
+        ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
+    dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
+    tmax_in = tmax_ref[...]
+    dead = tmax_in <= 0.0
+    tmax = jnp.where(dead, -INF, tmax_in)
+
+    def safe_inv(v):
+        tiny = jnp.where(v < 0, np.float32(-1e-20), np.float32(1e-20))
+        return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
+
+    inv_dx, inv_dy, inv_dz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+    sx = jnp.sum(dx)
+    sy = jnp.sum(dy)
+    sz = jnp.sum(dz)
+
+    def slab(node):
+        amin_x = aabb_ref[0, node]
+        amin_y = aabb_ref[1, node]
+        amin_z = aabb_ref[2, node]
+        amax_x = aabb_ref[3, node]
+        amax_y = aabb_ref[4, node]
+        amax_z = aabb_ref[5, node]
+        f0 = (amax_x - ox) * inv_dx
+        n0 = (amin_x - ox) * inv_dx
+        f1 = (amax_y - oy) * inv_dy
+        n1 = (amin_y - oy) * inv_dy
+        f2 = (amax_z - oz) * inv_dz
+        n2 = (amin_z - oz) * inv_dz
+        t1 = jnp.minimum(jnp.maximum(f0, n0),
+                         jnp.minimum(jnp.maximum(f1, n1), jnp.maximum(f2, n2)))
+        t0 = jnp.maximum(jnp.minimum(f0, n0),
+                         jnp.maximum(jnp.minimum(f1, n1), jnp.minimum(f2, n2)))
+        t = t_scr[...]
+        limit = jnp.minimum(t, tmax)
+        if any_hit:
+            active = idx_scr[...] < 0
+        else:
+            active = jnp.ones_like(t, dtype=bool)
+        return ((t1 >= jnp.maximum(t0, 0.0)) & (t0 < limit) & (t1 > 0.0)
+                & active)
+
+    def visit(node, hit, entered, count, first):
+        """Leaf scan; `first` is chunk-local, recorded idx is global."""
+
+        @pl.when(entered & (count > 0))
+        def _():
+            t = t_scr[...]
+            idx = idx_scr[...]
+            for j in range(MAX_LEAF):
+                ti = first + jnp.minimum(jnp.int32(j), count - 1)
+                nx = tverts_ref[0, ti]
+                ny = tverts_ref[1, ti]
+                nz = tverts_ref[2, ti]
+                np0 = tverts_ref[3, ti]
+                ndotd = nx * dx + ny * dy + nz * dz
+                ndoto = nx * ox + ny * oy + nz * oz
+                invalid = jnp.abs(ndotd) < PARALLEL_EPS
+                denom = jnp.where(invalid, np.float32(1.0), ndotd)
+                t_hit = (np0 - ndoto) / denom
+                px = ox + dx * t_hit
+                py = oy + dy * t_hit
+                pz = oz + dz * t_hit
+                u = (tverts_ref[4, ti] * px + tverts_ref[5, ti] * py
+                     + tverts_ref[6, ti] * pz + tverts_ref[7, ti])
+                v = (tverts_ref[8, ti] * px + tverts_ref[9, ti] * py
+                     + tverts_ref[10, ti] * pz + tverts_ref[11, ti])
+                in_tri = (u > 0) & (v > 0) & (u + v < 1)
+                ok = (jnp.logical_not(invalid) & (t_hit >= T_MIN) & in_tri
+                      & hit & (j < count) & (t_hit < t) & (t_hit < tmax))
+                t = jnp.where(ok, t_hit, t)
+                idx = jnp.where(ok, tri_base + ti, idx)
+            t_scr[...] = t
+            idx_scr[...] = idx
+
+    def expand(node, sp):
+        left = node + 1
+        right = meta_ref[2, node]
+        axis = meta_ref[3, node]
+        left_low = meta_ref[4, node]
+
+        hit_l = slab(left)
+        hit_r = slab(right)
+        ent_l = jnp.any(hit_l)
+        ent_r = jnp.any(hit_r)
+        count_l = meta_ref[1, left]
+        count_r = meta_ref[1, right]
+
+        visit(left, hit_l, ent_l, count_l, meta_ref[0, left])
+        visit(right, hit_r, ent_r, count_r, meta_ref[0, right])
+
+        dpos = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz)) > 0
+        near_is_left = dpos == (left_low == 1)
+        push_l = ent_l & (count_l == 0)
+        push_r = ent_r & (count_r == 0)
+        far_node = jnp.where(near_is_left, right, left)
+        near_node = jnp.where(near_is_left, left, right)
+        push_far = jnp.where(near_is_left, push_r, push_l)
+        push_near = jnp.where(near_is_left, push_l, push_r)
+
+        @pl.when(push_far)
+        def _():
+            stack_ref[sp] = far_node
+
+        sp = sp + push_far.astype(jnp.int32)
+
+        @pl.when(push_near)
+        def _():
+            stack_ref[sp] = near_node
+
+        return sp + push_near.astype(jnp.int32)
+
+    def body(sp):
+        sp = sp - 1
+        node = stack_ref[sp]
+        sp = expand(node, sp)
+        if any_hit:
+            sp = jnp.where(jnp.all((idx_scr[...] >= 0) | dead), 0, sp)
+        return sp
+
+    # chunk root = local node 0 (uniform layout)
+    root_hit = slab(0)
+    root_entered = jnp.any(root_hit)
+    root_count = meta_ref[1, 0]
+    visit(0, root_hit, root_entered, root_count, meta_ref[0, 0])
+    stack_ref[0] = jnp.int32(0)
+    sp0 = jnp.where(root_entered & (root_count == 0), 1, 0).astype(jnp.int32)
+    jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        t_out[...] = t_scr[...]
+        idx_out[...] = idx_scr[...]
+
+
+def pack_forest(bvh: BVHSoA, tri: TriangleSoA) -> tuple[Array, Array, Array]:
+    """Pack a uniform forest into chunk-blocked SMEM operand layout.
+
+    Same row structure as trace_pallas.pack_scene, but all indices are
+    CHUNK-LOCAL: meta rows [first_tri_local; tri_count; right_local; axis;
+    left_low], chunk c in columns [c*CN, (c+1)*CN) / [c*CT, (c+1)*CT).
+    CN and CT must be multiples of 128 (blocked-SMEM lowering requirement;
+    build_forest_bvh_uniform guarantees it).
+    """
+    cn, ct = bvh.chunk_nodes, bvh.chunk_tris
+    assert cn and cn % 128 == 0 and ct % 128 == 0, (cn, ct)
+    n_nodes = bvh.count
+    node_chunk_base = (jnp.arange(n_nodes, dtype=jnp.int32) // cn) * cn
+    tri_chunk_base = (jnp.arange(n_nodes, dtype=jnp.int32) // cn) * ct
+    skip, count = bvh.skip, bvh.tri_count
+    left = jnp.arange(n_nodes, dtype=jnp.int32) + 1
+    clip_l = jnp.minimum(left, n_nodes - 1)
+    right = jnp.where(count == 0, skip[clip_l], 0).astype(jnp.int32)
+    center = 0.5 * (bvh.aabb_min + bvh.aabb_max)
+    lc = center[clip_l]
+    rc = center[jnp.minimum(right, n_nodes - 1)]
+    axis = jnp.argmax(jnp.abs(rc - lc), axis=-1).astype(jnp.int32)
+    left_low = (jnp.take_along_axis(lc, axis[:, None], 1)
+                <= jnp.take_along_axis(rc, axis[:, None], 1))[:, 0].astype(jnp.int32)
+
+    first_local = bvh.first_tri - tri_chunk_base
+    right_local = jnp.maximum(right - node_chunk_base, 0)
+
+    if not isinstance(skip, jax.core.Tracer):
+        skip_np = np.asarray(skip)
+        cnt_np = np.asarray(count)
+        assert cnt_np.max() <= MAX_LEAF
+        n_chunks = n_nodes // cn
+        lidx = np.minimum(np.arange(n_nodes) + 1, n_nodes - 1)
+        right_np = np.where(cnt_np == 0, skip_np[lidx], 0)
+        for c in range(n_chunks):
+            stack, max_sp = [c * cn], 1
+            while stack:
+                nd = stack.pop()
+                if nd >= (c + 1) * cn:   # padding region: never walked
+                    continue
+                if cnt_np[nd] == 0:
+                    stack += [int(right_np[nd]), nd + 1]
+                    max_sp = max(max_sp, len(stack))
+            assert max_sp < MAX_STACK, f"chunk {c} stack {max_sp}"
+
+    meta = jnp.stack([first_local, count, right_local, axis, left_low], axis=0)
+    aabb = jnp.concatenate([bvh.aabb_min.T, bvh.aabb_max.T], axis=0)
+    tc = triangle_constants(tri)
+    tverts = jnp.concatenate([
+        tc["n"].T, tc["np0"][None], tc["t1"].T, tc["t1w"][None],
+        tc["t2"].T, tc["t2w"][None]], axis=0)
+    return (meta.astype(jnp.int32), aabb.astype(jnp.float32),
+            tverts.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("chunk_nodes", "chunk_tris", "any_hit",
+                                   "common_origin"))
+def _trace_chunked_impl(meta: Array, aabb: Array, tverts: Array,
+                        orig: Array, d: Array, t_max: Array,
+                        chunk_nodes: int, chunk_tris: int,
+                        any_hit: bool = False,
+                        common_origin: bool = False) -> tuple[Array, Array]:
+    n = orig.shape[0]
+    cn, ct = chunk_nodes, chunk_tris
+    n_chunks = meta.shape[1] // cn
+    n_pad = (n + PACKET - 1) // PACKET * PACKET
+    pad = n_pad - n
+
+    def prep(x, fill):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=fill)
+
+    orig = prep(orig, 0.0)
+    dd = prep(d, 1.0)
+    tm = prep(t_max, -1.0)
+
+    n_packets = n_pad // PACKET
+    shape2 = (n_packets * PACKET_ROWS, PACKET_LANES)
+    comps = [orig[:, 0], orig[:, 1], orig[:, 2], dd[:, 0], dd[:, 1], dd[:, 2],
+             tm]
+    comps = [c.reshape(shape2) for c in comps]
+
+    ray_spec = pl.BlockSpec((PACKET_ROWS, PACKET_LANES),
+                            lambda p, c: (p, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((PACKET_ROWS, PACKET_LANES), lambda p, c: (p, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel, chunk_tris=ct, n_chunks=n_chunks,
+                               any_hit=any_hit, common_origin=common_origin)
+    t, idx = pl.pallas_call(
+        kernel,
+        grid=(n_packets, n_chunks),
+        in_specs=[
+            pl.BlockSpec((5, cn), lambda p, c: (0, c),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((6, cn), lambda p, c: (0, c),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((12, ct), lambda p, c: (0, c),
+                         memory_space=pltpu.SMEM),
+        ] + [ray_spec] * 7,
+        out_specs=[out_spec, out_spec],
+        scratch_shapes=[
+            pltpu.VMEM((PACKET_ROWS, PACKET_LANES), jnp.float32),
+            pltpu.VMEM((PACKET_ROWS, PACKET_LANES), jnp.int32),
+            pltpu.SMEM((MAX_STACK,), jnp.int32),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(shape2, jnp.float32),
+            jax.ShapeDtypeStruct(shape2, jnp.int32),
+        ],
+    )(meta, aabb, tverts, *comps)
+
+    return t.reshape(n_pad)[:n], idx.reshape(n_pad)[:n]
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(6, 7, 8, 9))
+def _trace_chunked_cj(meta, aabb, tverts, orig, d, t_max,
+                      chunk_nodes, chunk_tris, any_hit, common_origin):
+    return _trace_chunked_impl(meta, aabb, tverts, orig, d, t_max,
+                               chunk_nodes, chunk_tris,
+                               any_hit=any_hit, common_origin=common_origin)
+
+
+@_trace_chunked_cj.defjvp
+def _trace_chunked_jvp(chunk_nodes, chunk_tris, any_hit, common_origin,
+                       primals, tangents):
+    """Zero tangents: topology-only output (see trace_pallas counterpart)."""
+    del tangents
+    t, idx = _trace_chunked_cj(*primals, chunk_nodes, chunk_tris, any_hit,
+                               common_origin)
+    return (t, idx), (jnp.zeros_like(t),
+                      np.zeros(idx.shape, jax.dtypes.float0))
+
+
+def trace_chunked(bvh: BVHSoA, tri: TriangleSoA, orig: Array, d: Array,
+                  t_max: Array | float = INF, any_hit: bool = False,
+                  common_origin: bool = False) -> tuple[Array, Array]:
+    """Drop-in replacement for integrator.intersect.trace on chunked
+    forests. Same output contract as trace_pallas.trace_pallas."""
+    meta, aabb, tverts = pack_forest(bvh, tri)
+    n = orig.shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    return _trace_chunked_cj(meta, aabb, tverts, orig, d, t_max,
+                             bvh.chunk_nodes, bvh.chunk_tris,
+                             bool(any_hit), bool(common_origin))

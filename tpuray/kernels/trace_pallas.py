@@ -234,10 +234,10 @@ def scene_fits_smem(n_nodes: int, n_tris: int) -> bool:
 
 
 @partial(jax.jit, static_argnames=("any_hit", "common_origin"))
-def trace_packets(meta: Array, aabb: Array, tverts: Array,
-                  orig: Array, d: Array, t_max: Array,
-                  any_hit: bool = False,
-                  common_origin: bool = False) -> tuple[Array, Array]:
+def _trace_packets_impl(meta: Array, aabb: Array, tverts: Array,
+                        orig: Array, d: Array, t_max: Array,
+                        any_hit: bool = False,
+                        common_origin: bool = False) -> tuple[Array, Array]:
     """Packet traversal over N rays (padded to a multiple of PACKET).
 
     meta: (5, n_nodes) int32 [first_tri; tri_count; right_child; axis; left_low]
@@ -304,6 +304,36 @@ def trace_packets(meta: Array, aabb: Array, tverts: Array,
     )(meta, aabb, tverts, *comps)
 
     return t.reshape(n_pad)[:n], idx.reshape(n_pad)[:n]
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(6, 7))
+def _trace_packets_cj(meta, aabb, tverts, orig, d, t_max,
+                      any_hit, common_origin):
+    return _trace_packets_impl(meta, aabb, tverts, orig, d, t_max,
+                               any_hit=any_hit, common_origin=common_origin)
+
+
+@_trace_packets_cj.defjvp
+def _trace_packets_jvp(any_hit, common_origin, primals, tangents):
+    """Traversal is topology-only by design (module docstring): the
+    integrator re-derives everything differentiable from (t, idx) via
+    resolve_hit and stop-gradients t. pallas_call has no JVP rule, so an
+    outer jax.grad (e.g. the BASELINE gradient check differentiating a whole
+    rendered frame) would fail without this: declare zero tangents here and
+    let gradients flow through the shading re-derivation instead."""
+    del tangents
+    t, idx = _trace_packets_cj(*primals, any_hit, common_origin)
+    return (t, idx), (jnp.zeros_like(t),
+                      np.zeros(idx.shape, jax.dtypes.float0))
+
+
+def trace_packets(meta: Array, aabb: Array, tverts: Array,
+                  orig: Array, d: Array, t_max: Array,
+                  any_hit: bool = False,
+                  common_origin: bool = False) -> tuple[Array, Array]:
+    """See _trace_packets_impl; this wrapper adds the zero-tangent JVP."""
+    return _trace_packets_cj(meta, aabb, tverts, orig, d, t_max,
+                             bool(any_hit), bool(common_origin))
 
 
 # ---------------------------------------------------------------------------

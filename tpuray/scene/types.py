@@ -110,10 +110,22 @@ class BVHSoA:
     first_tri: Array  # (N,) int32 (leaf only; 0 for inner)
     tri_count: Array  # (N,) int32 (0 => inner node)
     skip: Array       # (N,) int32 preorder escape pointer; n_nodes = done
+    # Forest chunking (scene/partition.py, uniform layout): chunk c owns
+    # nodes [c*chunk_nodes, (c+1)*chunk_nodes) and triangles
+    # [c*chunk_tris, (c+1)*chunk_tris), padded with never-hit entries.
+    # 0 = unchunked single tree. Static (non-pytree) so jit specializes.
+    chunk_nodes: int = struct.field(pytree_node=False, default=0)
+    chunk_tris: int = struct.field(pytree_node=False, default=0)
 
     @property
     def count(self) -> int:
         return self.aabb_min.shape[0]
+
+    @property
+    def n_chunks(self) -> int:
+        if not self.chunk_nodes:
+            return 1
+        return self.aabb_min.shape[0] // self.chunk_nodes
 
 
 @struct.dataclass
