@@ -182,6 +182,36 @@ def main() -> None:
             emit({"metric": "trace_incoherent_rays_per_second",
                   "error": repr(e)[:200]})
 
+    # beyond-SMEM scene on the chunk-streaming kernel (131k tris, 64
+    # chunks): the single-tree packet kernel cannot run this size at all
+    # and the XLA wavefront needs minutes (scripts/exp_chunked.py)
+    if have_time(120):
+        try:
+            from tpuray.scene.procedural import make_large_scene
+            from tpuray.kernels import trace_chunked as tc
+            big = make_large_scene(n_spheres=25, subdiv=4, env_width=64)
+            bmeta, baabb, btv = jax.jit(tc.pack_forest)(
+                big.bvh, big.triangles)
+
+            def run_big():
+                state["big"] = tc._trace_chunked_cj(
+                    bmeta, baabb, btv, o, d, tm,
+                    big.bvh.chunk_nodes, big.bvh.chunk_tris, False, True)
+
+            def sync_big():
+                np.asarray(state["big"][0][:1])
+
+            dt_big = timed(run_big, sync_big, iters=3, trials=2)
+            emit({"metric": "trace_chunked_131k_rays_per_second",
+                  "value": n_rays / dt_big, "unit": "rays/s",
+                  "tris": int(big.triangles.count),
+                  "chunks": int(big.bvh.n_chunks),
+                  "vs_baseline": (n_rays / dt_big) / baseline})
+            del big, bmeta, baabb, btv
+        except Exception as e:
+            emit({"metric": "trace_chunked_131k_rays_per_second",
+                  "error": repr(e)[:200]})
+
     # full-frame latency (PT + SVGF + TAA) at the reference's 800x800,
     # moving camera (worst case)
     if have_time(150):

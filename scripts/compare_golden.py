@@ -47,6 +47,12 @@ def main() -> int:
     ap.add_argument("--yaw", type=float, default=-12.0)
     ap.add_argument("--pitch", type=float, default=10.0)
     ap.add_argument("--radius", type=float, default=1.9)
+    ap.add_argument("--envmap", default=None,
+                    help="HDR stand-in (e.g. assets/recovered_env.hdr from "
+                         "scripts/recover_envmap.py)")
+    ap.add_argument("--dy", type=int, default=None,
+                    help="viewport offset from fit_golden_pose (skips search)")
+    ap.add_argument("--dx", type=int, default=None)
     args = ap.parse_args()
 
     from tpuray.utils.platform import enable_compile_cache
@@ -67,7 +73,10 @@ def main() -> int:
 
     cfg = RenderConfig(width=args.size, height=args.size,
                        reference_quirks=True)
-    scene = reference_default_scene(reference_quirks=True)
+    scene_kw = {}
+    if args.envmap:
+        scene_kw["envmap"] = args.envmap
+    scene = reference_default_scene(reference_quirks=True, **scene_kw)
     cam = OrbitCamera(width=args.size, height=args.size, yaw_deg=args.yaw,
                       pitch_deg=args.pitch, radius=args.radius)
     r = Renderer(scene, cfg)
@@ -93,8 +102,18 @@ def main() -> int:
             print(f"{stage}: screenshot smaller than render, skipped",
                   file=sys.stderr)
             continue
-        (dy, dx), score = best_offset(lo, lg, search=48)
-        aligned = lg[dy:dy + roi_h, dx:dx + args.size]
+        if args.dy is not None:
+            dy, dx = args.dy, args.dx or 0
+        else:
+            (dy, dx), score = best_offset(lo, lg, search=48)
+        # crop the overlap (offsets may be negative with --dy/--dx)
+        y0o, x0o = max(0, -dy), max(0, -dx)
+        y0g, x0g = max(0, dy), max(0, dx)
+        hh = min(roi_h - y0o, lg.shape[0] - y0g)
+        ww = min(args.size - x0o, lg.shape[1] - x0g)
+        lo_c = lo[y0o:y0o + hh, x0o:x0o + ww]
+        aligned = lg[y0g:y0g + hh, x0g:x0g + ww]
+        lo = lo_c
         s = ssim(lo, aligned)
         g = ncc(grad_mag(lo), grad_mag(aligned))
         report[stage] = {"offset": [dy, dx], "grad_ncc": round(g, 4),

@@ -81,18 +81,22 @@ def main():
     def sync_c():
         np.asarray(state["c"][0][:1])
 
-    dt = bench(run_coh, sync_c)
+    dt = bench(run_coh, sync_c, iters=3, trials=2)
     hits = float(np.mean(np.asarray(state["c"][1]) >= 0))
     print(json.dumps({"coherent_ms": round(dt * 1e3, 2),
                       "mrays_s": round(n / dt / 1e6, 1),
                       "hit_frac": round(hits, 3)}), flush=True)
 
     # correctness spot-check vs XLA wavefront on a subsample
-    from tpuray.integrator.intersect import trace as trace_xla
-    sub = slice(0, 8192)
-    t_x, i_x = jax.jit(trace_xla)(bvh, scene.triangles, o[sub], d[sub])
-    ok = bool(np.array_equal(np.asarray(i_x), np.asarray(state["c"][1])[sub]))
-    print(json.dumps({"match_xla": ok}), flush=True)
+    try:
+        from tpuray.integrator.intersect import trace as trace_xla
+        sub = slice(0, 8192)
+        t_x, i_x = jax.jit(trace_xla)(bvh, scene.triangles, o[sub], d[sub])
+        ok = bool(np.array_equal(np.asarray(i_x),
+                                 np.asarray(state["c"][1])[sub]))
+        print(json.dumps({"match_xla": ok}), flush=True)
+    except Exception as e:
+        print(json.dumps({"match_xla": repr(e)[:150]}), flush=True)
 
     # incoherent secondaries
     @jax.jit
@@ -124,21 +128,28 @@ def main():
     def sync_i():
         np.asarray(state["i"][0][:1])
 
-    dt_i = bench(run_inc, sync_i, iters=3)
+    dt_i = bench(run_inc, sync_i, iters=1, trials=1)
     print(json.dumps({"incoherent_ms": round(dt_i * 1e3, 2),
                       "mrays_s": round(n / dt_i / 1e6, 1)}), flush=True)
 
-    # XLA wavefront comparison timing (the old beyond-SMEM fallback)
-    def run_xla():
-        state["x"] = jax.jit(trace_xla)(bvh, scene.triangles, o, d)
+    # XLA wavefront comparison timing (the old beyond-SMEM fallback);
+    # guarded: at large scenes this path is minutes-slow
+    try:
+        nx = 65536
+        def run_xla():
+            state["x"] = jax.jit(trace_xla)(bvh, scene.triangles,
+                                            o[:nx], d[:nx])
 
-    def sync_x():
-        np.asarray(state["x"][0][:1])
+        def sync_x():
+            np.asarray(state["x"][0][:1])
 
-    dt_x = bench(run_xla, sync_x, iters=2, trials=2)
-    print(json.dumps({"xla_coherent_ms": round(dt_x * 1e3, 2),
-                      "mrays_s": round(n / dt_x / 1e6, 1),
-                      "speedup": round(dt_x / dt, 1)}), flush=True)
+        dt_x = bench(run_xla, sync_x, iters=1, trials=2)
+        print(json.dumps({"xla_coherent_ms_65k": round(dt_x * 1e3, 2),
+                          "mrays_s": round(nx / dt_x / 1e6, 1),
+                          "speedup_vs_chunked": round((dt_x / nx) / (dt / n), 1)}),
+              flush=True)
+    except Exception as e:
+        print(json.dumps({"xla_coherent": repr(e)[:150]}), flush=True)
 
 
 if __name__ == "__main__":

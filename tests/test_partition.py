@@ -211,3 +211,36 @@ def test_trace_chunked_kernel_matches_wavefront():
     finally:
         pl.pallas_call = orig_call
         importlib.reload(tc)
+
+
+def test_build_scene_autochunks_big_scenes(tmp_path):
+    """build_scene switches to the chunked forest beyond the SMEM budget."""
+    from tpuray.scene.builder import ObjectSpec, build_scene
+
+    # a subdivided OBJ big enough to exceed the single-tree SMEM gate
+    from tpuray.scene.procedural import icosphere
+    tris = icosphere(4)  # 5120 tris -> replicate via three objects = 15360
+    path = tmp_path / "blob.obj"
+    with open(path, "w") as f:
+        for t in tris:
+            for v in t:
+                f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for i in range(len(tris)):
+            f.write(f"f {3*i+1} {3*i+2} {3*i+3}\n")
+    objs = [ObjectSpec(path=str(path), material=dict(base_color=(0.5, 0.5, 0.5)),
+                       translate=(dx, 0.0, 0.0))
+            for dx in (-2.0, 0.0, 2.0)]
+    scene = build_scene(objs, envmap=None, max_chunk_tris=2048)
+    assert scene.bvh.chunk_nodes > 0
+    assert scene.bvh.n_chunks > 1
+    # padded triangle rows are degenerate (all-zero)
+    import numpy as np
+    from tpuray.integrator.intersect import trace as trace_xla
+    import jax.numpy as jnp
+    o = np.asarray([[0.0, 0.0, 6.0]], np.float32).repeat(64, 0)
+    rng = np.random.default_rng(0)
+    tgt = (rng.random((64, 3), np.float32) - 0.5) * 3.0
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t, i = trace_xla(scene.bvh, scene.triangles, jnp.asarray(o), jnp.asarray(d))
+    assert (np.asarray(i) >= 0).any()

@@ -51,7 +51,7 @@ def atrous_iteration(illum: Array, variance: Array, normal: Array,
 
     l_center = luminance(illum)
     var_blur = blur_variance_3x3(variance, cfg.reference_quirks)
-    phi_l = cfg.sigma_l * jnp.sqrt(jnp.maximum(0.0, 1e-10 + var_blur))
+    phi_l = cfg.sigma_l * jnp.sqrt(jnp.maximum(1e-10, 1e-10 + var_blur))
     phi_depth = jnp.maximum(fwidth_z, 1e-8) * step
 
     sum_w = jnp.ones(shape, jnp.float32)           # center weight 1

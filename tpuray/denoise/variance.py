@@ -22,7 +22,10 @@ def edge_stopping_weight(z_c, z_p, phi_depth, n_c, n_p, phi_normal,
     """computeWeight (svgf_variance.frag:23-35 == svgf_Atrous.frag:43-55)."""
     w_normal = jnp.clip(jnp.sum(n_c * n_p, axis=-1), 0.0, 1.0) ** phi_normal
     w_z = jnp.where(phi_depth == 0.0, 0.0, jnp.abs(z_c - z_p) / jnp.where(phi_depth == 0.0, 1.0, phi_depth))
-    w_l = jnp.abs(l_c - l_p) / phi_illum
+    # phi_illum can be exactly 0 (3x3-blurred variance slightly negative
+    # from E[l^2]-E[l]^2 cancellation -> sqrt clamps to 0); 0/0 on a flat
+    # dark region would poison the filter with NaN
+    w_l = jnp.abs(l_c - l_p) / jnp.maximum(phi_illum, 1e-10)
     return jnp.exp(-jnp.maximum(w_l, 0.0) - jnp.maximum(w_z, 0.0)) * w_normal
 
 

@@ -145,7 +145,7 @@ def _kernel(dy_tab, dx_tab, kw_tab, dist_tab,
                                         dyn(_DYN_V, dy, dx))))
                 var_blur = var_blur + _VARK[(abs(dx), abs(dy))] * v
 
-    phi_l = sigma_l * jnp.sqrt(jnp.maximum(0.0, 1e-10 + var_blur))
+    phi_l = sigma_l * jnp.sqrt(jnp.maximum(1e-10, 1e-10 + var_blur))
     phi_depth = jnp.maximum(stat(_ST_FWZ), 1e-8) * float(step)
 
     # --- 24-tap dilated cross-bilateral accumulation (rolled loop) ---

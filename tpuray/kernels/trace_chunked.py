@@ -4,12 +4,13 @@ The single-tree packet kernel (trace_pallas.py) keeps the whole scene's
 node/triangle constants in SMEM — a hard ~15-20k-triangle ceiling. This
 kernel removes it: the scene is a uniform forest of SMEM-sized chunks
 (scene/partition.py, BVHSoA.chunk_nodes/chunk_tris) whose tables live in
-HBM; the Pallas grid runs (packet, chunk) with the chunk tables as
-SMEM-*blocked* inputs, so the pipeline DMAs chunk c+1's tables into SMEM
-while the packet walks chunk c (automatic double buffering). Per-lane
-(t, idx) persist in VMEM scratch across the inner chunk loop, so later
-chunks are culled against the best hit so far, and a chunk whose root AABB
-misses every ray in the packet costs one slab test.
+HBM; one pallas_call per chunk loads that chunk's tables into SMEM whole
+and sweeps every ray packet against them, with per-lane (t, idx) threaded
+between calls at the XLA level, so later chunks are culled against the
+best hit so far and a chunk whose root AABB misses every ray in a packet
+costs one slab test. (A single-call (packet, chunk) grid with SMEM-blocked
+chunk inputs was measured 100x slower: tables re-streamed into SMEM per
+packet at SMEM's low DMA fill bandwidth.)
 
 The walk inside a chunk is the same scalar-stack packet DFS as
 trace_pallas._kernel, with identical per-triangle op order (bit-parity with
@@ -44,18 +45,24 @@ def chunk_fits_smem(chunk_nodes: int, chunk_tris: int) -> bool:
     return 2 * per_chunk + 23 * 512 < 900_000
 
 
-def _kernel(meta_ref, aabb_ref, tverts_ref,
+def _kernel(base_ref, meta_ref, aabb_ref, tverts_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-            t_out, idx_out, t_scr, idx_scr, stack_ref,
-            *, chunk_tris: int, n_chunks: int, any_hit: bool,
-            common_origin: bool):
-    c = pl.program_id(1)
-    tri_base = c * chunk_tris
-
-    @pl.when(c == 0)
-    def _():
-        t_scr[...] = jnp.full((PACKET_ROWS, PACKET_LANES), INF, jnp.float32)
-        idx_scr[...] = jnp.full((PACKET_ROWS, PACKET_LANES), -1, jnp.int32)
+            t_in_ref, idx_in_ref, t_out, idx_out, stack_ref,
+            *, any_hit: bool, common_origin: bool):
+    # One chunk per pallas_call: its tables land in SMEM once (whole-array
+    # SMEM inputs) and every packet (grid) streams through VMEM against
+    # them. The packet-outer/chunk-inner single-call variant was measured
+    # 100x slower — SMEM DMA fill bandwidth made per-packet table
+    # re-streaming the bottleneck — and cross-step input/output aliasing is
+    # not modeled by interpret mode, so the chunk loop lives at the XLA
+    # level (trace loop in _trace_chunked_impl) with (t, idx) threaded
+    # between calls. tri_base arrives via scalar prefetch so every chunk
+    # reuses ONE compiled kernel.
+    tri_base = base_ref[0]
+    t_out[...] = t_in_ref[...]
+    idx_out[...] = idx_in_ref[...]
+    t_scr = t_out
+    idx_scr = idx_out
 
     if common_origin:
         ox, oy, oz = ox_ref[0, 0], oy_ref[0, 0], oz_ref[0, 0]
@@ -189,11 +196,6 @@ def _kernel(meta_ref, aabb_ref, tverts_ref,
     sp0 = jnp.where(root_entered & (root_count == 0), 1, 0).astype(jnp.int32)
     jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
 
-    @pl.when(c == n_chunks - 1)
-    def _():
-        t_out[...] = t_scr[...]
-        idx_out[...] = idx_scr[...]
-
 
 def pack_forest(bvh: BVHSoA, tri: TriangleSoA) -> tuple[Array, Array, Array]:
     """Pack a uniform forest into chunk-blocked SMEM operand layout.
@@ -277,36 +279,39 @@ def _trace_chunked_impl(meta: Array, aabb: Array, tverts: Array,
     comps = [orig[:, 0], orig[:, 1], orig[:, 2], dd[:, 0], dd[:, 1], dd[:, 2],
              tm]
     comps = [c.reshape(shape2) for c in comps]
+    t = jnp.full(shape2, INF, jnp.float32)
+    idx = jnp.full(shape2, -1, jnp.int32)
 
     ray_spec = pl.BlockSpec((PACKET_ROWS, PACKET_LANES),
-                            lambda p, c: (p, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((PACKET_ROWS, PACKET_LANES), lambda p, c: (p, 0),
-                            memory_space=pltpu.VMEM)
-
-    kernel = functools.partial(_kernel, chunk_tris=ct, n_chunks=n_chunks,
-                               any_hit=any_hit, common_origin=common_origin)
-    t, idx = pl.pallas_call(
+                            lambda p, *_: (p, 0), memory_space=pltpu.VMEM)
+    smem_full = [
+        pl.BlockSpec((5, cn), lambda p, *_: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((6, cn), lambda p, *_: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((12, ct), lambda p, *_: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    kernel = functools.partial(_kernel, any_hit=any_hit,
+                               common_origin=common_origin)
+    call = pl.pallas_call(
         kernel,
-        grid=(n_packets, n_chunks),
-        in_specs=[
-            pl.BlockSpec((5, cn), lambda p, c: (0, c),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((6, cn), lambda p, c: (0, c),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((12, ct), lambda p, c: (0, c),
-                         memory_space=pltpu.SMEM),
-        ] + [ray_spec] * 7,
-        out_specs=[out_spec, out_spec],
-        scratch_shapes=[
-            pltpu.VMEM((PACKET_ROWS, PACKET_LANES), jnp.float32),
-            pltpu.VMEM((PACKET_ROWS, PACKET_LANES), jnp.int32),
-            pltpu.SMEM((MAX_STACK,), jnp.int32),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,   # tri_base (one compiled kernel, C calls)
+            grid=(n_packets,),
+            in_specs=smem_full + [ray_spec] * 9,
+            out_specs=[ray_spec, ray_spec],
+            scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct(shape2, jnp.float32),
             jax.ShapeDtypeStruct(shape2, jnp.int32),
         ],
-    )(meta, aabb, tverts, *comps)
+    )
+    for c in range(n_chunks):
+        base = jnp.asarray([c * ct], jnp.int32)
+        t, idx = call(base,
+                      jax.lax.slice(meta, (0, c * cn), (5, (c + 1) * cn)),
+                      jax.lax.slice(aabb, (0, c * cn), (6, (c + 1) * cn)),
+                      jax.lax.slice(tverts, (0, c * ct), (12, (c + 1) * ct)),
+                      *comps, t, idx)
 
     return t.reshape(n_pad)[:n], idx.reshape(n_pad)[:n]
 

@@ -120,6 +120,7 @@ def build_scene(
     texture_res: int = 256,
     reference_quirks: bool = False,
     with_textures: bool = False,
+    max_chunk_tris: int = 2048,
 ) -> Scene:
     all_p, all_n, all_uv, all_mat, all_obj = [], [], [], [], []
     materials = []
@@ -153,8 +154,27 @@ def build_scene(
     mat_id = np.concatenate(all_mat)
     obj_id = np.concatenate(all_obj)
 
-    bvh = build_bvh(pos, leaf_size)
-    perm = bvh["perm"]
+    from tpuray.kernels.trace_pallas import scene_fits_smem
+    if scene_fits_smem(2 * len(pos), len(pos)):
+        bvh = build_bvh(pos, leaf_size)
+        perm = bvh["perm"]
+        chunk_kw = {}
+    else:
+        # beyond the single-tree kernel's SMEM budget: build a uniform
+        # chunked forest so traversal stays on the packet kernel
+        # (kernels/trace_chunked.py) instead of the slow XLA wavefront
+        from tpuray.scene.partition import (
+            apply_perm_padded, build_forest_bvh_uniform)
+        bvh = build_forest_bvh_uniform(pos, leaf_size, max_chunk_tris)
+        perm = bvh["perm"]
+        chunk_kw = dict(chunk_nodes=int(bvh["chunk_nodes"]),
+                        chunk_tris=int(bvh["chunk_tris"]))
+        pos = apply_perm_padded(pos, perm)
+        nrm = apply_perm_padded(nrm, perm)
+        uv = apply_perm_padded(uv, perm)
+        mat_id = apply_perm_padded(mat_id, perm)
+        obj_id = apply_perm_padded(obj_id, perm)
+        perm = np.arange(len(pos))  # attributes already permuted/padded
     tri = TriangleSoA(
         p0=jnp.asarray(pos[perm, 0]), p1=jnp.asarray(pos[perm, 1]), p2=jnp.asarray(pos[perm, 2]),
         n0=jnp.asarray(nrm[perm, 0]), n1=jnp.asarray(nrm[perm, 1]), n2=jnp.asarray(nrm[perm, 2]),
@@ -164,7 +184,7 @@ def build_scene(
     bvh_soa = BVHSoA(
         aabb_min=jnp.asarray(bvh["aabb_min"]), aabb_max=jnp.asarray(bvh["aabb_max"]),
         first_tri=jnp.asarray(bvh["first_tri"]), tri_count=jnp.asarray(bvh["tri_count"]),
-        skip=jnp.asarray(bvh["skip"]),
+        skip=jnp.asarray(bvh["skip"]), **chunk_kw,
     )
 
     if point_lights:
