@@ -62,12 +62,35 @@ def cmd_render(args) -> int:
         r.state = load_frame_state(args.resume)
 
     metrics = FrameMetrics(cfg.width, cfg.height, cfg.max_tracing_depth)
-    for i in range(args.frames):
-        t0 = time.perf_counter()
-        out = r.step(cam.snapshot())
-        import jax
-        jax.block_until_ready(out.final)
-        metrics.record(time.perf_counter() - t0)
+    if args.elastic:
+        # supervised loop: device faults -> restore newest checkpoint and
+        # replay (utils/elastic.py); frames are pure functions of state, so
+        # a resumed run is bit-identical to an uninterrupted one
+        from tpuray.render.renderer import render_frame
+        from tpuray.utils.elastic import run_elastic
+        snap = cam.snapshot()
+
+        def frame_fn(state, frame):
+            t0 = time.perf_counter()
+            state, out = render_frame(scene, snap, state, cfg,
+                                      cfg.height, cfg.width)
+            r.last_outputs = out
+            metrics.record(time.perf_counter() - t0)
+            return state
+
+        ck = args.elastic
+        r.state, stats = run_elastic(frame_fn, r.state, args.frames, ck,
+                                     checkpoint_every=args.checkpoint_every)
+        print(f"elastic: {stats.frames_done} frames, {stats.faults} faults, "
+              f"{stats.restores} restores, {stats.checkpoints} checkpoints",
+              file=sys.stderr)
+    else:
+        for i in range(args.frames):
+            t0 = time.perf_counter()
+            out = r.step(cam.snapshot())
+            import jax
+            jax.block_until_ready(out.final)
+            metrics.record(time.perf_counter() - t0)
     print(metrics.summary(), file=sys.stderr)
 
     view = DebugView[_VIEWS[args.view]]
@@ -201,6 +224,11 @@ def main(argv=None) -> int:
     pr.add_argument("--radius", type=float, default=2.0)
     pr.add_argument("--checkpoint", default=None, help="save FrameState npz")
     pr.add_argument("--resume", default=None, help="load FrameState npz")
+    pr.add_argument("--elastic", default=None, metavar="CKPT",
+                    help="supervised loop: checkpoint here every "
+                         "--checkpoint-every frames; device faults restore "
+                         "+ replay (utils/elastic.py)")
+    pr.add_argument("--checkpoint-every", type=int, default=8)
     pr.add_argument("--reference-quirks", action="store_true")
     pr.add_argument("--dump-all-views", action="store_true")
     pr.set_defaults(fn=cmd_render)
