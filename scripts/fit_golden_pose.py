@@ -80,7 +80,7 @@ def main() -> int:
     from tpuray.scene.camera import OrbitCamera
     from tpuray.utils.imgcmp import luminance
 
-    scene = reference_default_scene()
+    scene = reference_default_scene(reference_quirks=True)
     meta, aabb, tverts = jax.jit(tp.pack_scene)(scene.bvh, scene.triangles)
 
     gold = read_png(GOLD)

@@ -244,3 +244,17 @@ def test_build_scene_autochunks_big_scenes(tmp_path):
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     t, i = trace_xla(scene.bvh, scene.triangles, jnp.asarray(o), jnp.asarray(d))
     assert (np.asarray(i) >= 0).any()
+
+
+def test_single_tree_kernel_rejects_forest():
+    """The single-tree packer must refuse chunked forests outright (handing
+    one in scrambles traversal past the first chunk boundary)."""
+    from tpuray.kernels.trace_pallas import trace_pallas
+    from tpuray.scene.procedural import make_large_scene
+    scene = make_large_scene(n_spheres=4, subdiv=1, max_chunk_tris=256,
+                             env_width=16)
+    assert scene.bvh.chunk_nodes > 0
+    o = jnp.zeros((4, 3), jnp.float32)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32), (4, 1))
+    with pytest.raises(AssertionError, match="chunked forest"):
+        trace_pallas(scene.bvh, scene.triangles, o, d)

@@ -9,12 +9,14 @@ TPU-native replacement for the reference's per-fragment stack traversal
   hits the node's AABB. Lock-step over the packet trades redundant node
   visits for perfectly uniform VPU work with no per-lane gathers — the
   classic packet-traversal idea mapped onto the TPU's scalar+vector split.
-- Node AABBs and leaf metadata live in SMEM (scalar-prefetch operands), so
-  the scalar core chases pointers while the VPU does the 1024-wide
-  slab/triangle tests with scalar operands broadcast for free.
-- Triangle vertices also ride SMEM (9 scalars per triangle); the whole
-  flagship scene is < 0.5 MB of scalars. Larger scenes would tier triangles
-  to VMEM rows; not needed yet.
+- Node AABBs, leaf metadata and triangle constants live in SMEM as regular
+  whole-array SMEM inputs, so the scalar core chases pointers while the VPU
+  does the 4096-wide slab/triangle tests with scalar operands broadcast for
+  free. (NOT scalar-prefetch operands: those silently truncate beyond
+  ~1024 entries per row on the current toolchain — every triangle above
+  that index became unreachable; caught against the XLA oracle on-device.)
+- Scenes beyond the SMEM budget use the chunk-streaming variant
+  (kernels/trace_chunked.py) over a uniform forest (scene/partition.py).
 - Traversal is topology-only (t, triangle index out); shading re-derives
   everything differentiably (tpuray.integrator.path_tracer.resolve_hit), so
   the kernel needs no VJP.
@@ -271,18 +273,37 @@ def _trace_packets_impl(meta: Array, aabb: Array, tverts: Array,
     comps = [orig[:, 0], orig[:, 1], orig[:, 2], dd[:, 0], dd[:, 1], dd[:, 2], tm]
     comps = [c.reshape(shape2) for c in comps]
 
-    # index maps receive (grid idx, *scalar_prefetch_refs)
     ray_spec = pl.BlockSpec((PACKET_ROWS, PACKET_LANES),
-                            lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+                            lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # Scene tables ride REGULAR whole-array SMEM in_specs, NOT scalar
+    # prefetch: scalar-prefetch operands silently truncate beyond ~1024
+    # entries per row on this toolchain (observed on v5e: every triangle
+    # with index >~1024 unreachable, hit rate 0.016 vs 0.136 for the XLA
+    # oracle; regular SMEM inputs of the same data match the oracle
+    # exactly). The SMEM rows must be 128-multiples for the lowering.
+    def pad128(x):
+        w = x.shape[1]
+        wp = (w + 127) // 128 * 128
+        return jnp.pad(x, ((0, 0), (0, wp - w)))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # meta, aabb, tverts -> SMEM
+    meta_p, aabb_p, tverts_p = pad128(meta), pad128(aabb), pad128(tverts)
+    tab_specs = [
+        pl.BlockSpec(meta_p.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(aabb_p.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(tverts_p.shape, lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+
+    kernel = functools.partial(_kernel, n_nodes=n_nodes, any_hit=any_hit,
+                               common_origin=common_origin)
+    t, idx = pl.pallas_call(
+        kernel,
         grid=(n_packets,),
-        in_specs=[ray_spec] * 7,
+        in_specs=tab_specs + [ray_spec] * 7,
         out_specs=[
-            pl.BlockSpec((PACKET_ROWS, PACKET_LANES), lambda i, *_: (i, 0),
+            pl.BlockSpec((PACKET_ROWS, PACKET_LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PACKET_ROWS, PACKET_LANES), lambda i, *_: (i, 0),
+            pl.BlockSpec((PACKET_ROWS, PACKET_LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -290,18 +311,11 @@ def _trace_packets_impl(meta: Array, aabb: Array, tverts: Array,
             pltpu.VMEM((PACKET_ROWS, PACKET_LANES), jnp.int32),
             pltpu.SMEM((MAX_STACK,), jnp.int32),
         ],
-    )
-
-    kernel = functools.partial(_kernel, n_nodes=n_nodes, any_hit=any_hit,
-                               common_origin=common_origin)
-    t, idx = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(shape2, jnp.float32),
             jax.ShapeDtypeStruct(shape2, jnp.int32),
         ],
-    )(meta, aabb, tverts, *comps)
+    )(meta_p, aabb_p, tverts_p, *comps)
 
     return t.reshape(n_pad)[:n], idx.reshape(n_pad)[:n]
 
@@ -369,6 +383,11 @@ def pack_scene(bvh: BVHSoA, tri: TriangleSoA) -> tuple[Array, Array, Array]:
         skip_np, cnt_np = np.asarray(skip), np.asarray(count)
         assert cnt_np.max() <= MAX_LEAF, (
             f"leaf count {cnt_np.max()} > MAX_LEAF={MAX_LEAF}")
+        empty_leaf = (cnt_np == 0) & (skip_np == np.arange(n_nodes) + 1)
+        assert not empty_leaf.any(), (
+            "tree contains empty-leaf nodes (count=0, skip=i+1) — a forest "
+            "or padded layout; the single-tree packet kernel requires a "
+            "strict binary preorder tree (use trace_chunked)")
         lidx = np.minimum(np.arange(n_nodes) + 1, n_nodes - 1)
         right_np = np.where(cnt_np == 0, skip_np[lidx], 0)
         stack, max_sp = [0], 1
@@ -395,6 +414,10 @@ def trace_pallas(bvh: BVHSoA, tri: TriangleSoA, orig: Array, d: Array,
     common_origin: caller asserts every ray shares one origin (camera
     primaries) — hoists the origin onto the scalar core; bit-identical
     results, fewer VPU ops per node/triangle."""
+    assert not bvh.chunk_nodes, (
+        "chunked forest handed to the single-tree packet kernel — its "
+        "binary-pair walk (right = skip[left]) scrambles past the first "
+        "chunk boundary; use kernels.trace_chunked.trace_chunked")
     meta, aabb, tverts = pack_scene(bvh, tri)
     n = orig.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))

@@ -155,8 +155,12 @@ def build_scene(
     obj_id = np.concatenate(all_obj)
 
     from tpuray.kernels.trace_pallas import scene_fits_smem
-    if scene_fits_smem(2 * len(pos), len(pos)):
-        bvh = build_bvh(pos, leaf_size)
+    # build the single tree first and gate on REAL node counts: a
+    # conservative 2*T node estimate needlessly chunked the flagship scene
+    # (actual nodes ~T/3), and a forest handed to the single-tree packer
+    # scrambles traversal past the first chunk boundary
+    bvh = build_bvh(pos, leaf_size)
+    if scene_fits_smem(len(bvh["skip"]), len(pos)):
         perm = bvh["perm"]
         chunk_kw = {}
     else:
@@ -166,6 +170,7 @@ def build_scene(
         from tpuray.scene.partition import (
             apply_perm_padded, build_forest_bvh_uniform)
         bvh = build_forest_bvh_uniform(pos, leaf_size, max_chunk_tris)
+        assert bvh["chunk_nodes"] % 128 == 0
         perm = bvh["perm"]
         chunk_kw = dict(chunk_nodes=int(bvh["chunk_nodes"]),
                         chunk_tris=int(bvh["chunk_tris"]))
