@@ -106,6 +106,9 @@ def main() -> None:
         # Packing is ONE jitted call (~60 reshuffle ops — eager, they cost
         # minutes of per-op dispatch on this backend; jitted, milliseconds).
         from tpuray.kernels import trace_pallas as tp
+        assert not scene.bvh.chunk_nodes, (
+            "flagship scene unexpectedly chunked — pack_scene would feed a "
+            "forest to the single-tree kernel (see trace_pallas assert)")
         pack = jax.jit(tp.pack_scene)
         meta, aabb, tverts = pack(scene.bvh, scene.triangles)
         o = jax.device_put(jnp.asarray(o_np))

@@ -112,13 +112,26 @@ def main() -> int:
                           ).snapshot()
         m = np.asarray(silhouette(cam.eye, cam.cam_to_world,
                                   cam.tan_half_fov))
+        # physical constraint: the screenshot's clock covers ~11% of the
+        # viewport (dial radius ~137px at 800 + bells/handle). Without it
+        # the NCC surface has degenerate attractors: an extreme-zoom
+        # silhouette is a big smooth bright blob that correlates with the
+        # room's bright walls no matter the pose.
+        area = float((m > 0).mean())
+        if not 0.09 <= area <= 0.155:
+            return -1e9, 0, 0
         s, dy, dx = ncc_match(m[MARGIN:roi, MARGIN:RES - MARGIN], gold_small)
         return s, dy - MARGIN, dx - MARGIN
 
+    # bounds from direct measurement of the screenshot's dial ellipse
+    # (center ~(400,396), rx~137, ry~124 at 800px): vertical foreshortening
+    # ry/rx = 0.905 -> ~25 deg tilt above the dial normal; horizontal
+    # symmetry -> yaw near face-on; rx + 90 deg fov -> dial-center distance
+    # ~1.1-1.3 -> orbit radius ~1.45-1.85
     coarse = list(itertools.product(
-        np.arange(-40, 41, 8.0),
-        np.arange(-10, 41, 8.0),
-        np.arange(1.3, 2.31, 0.1)))
+        np.arange(-18, 19, 4.0),
+        np.arange(12, 35, 4.0),
+        np.arange(1.45, 1.86, 0.08)))
     best = (-1e9, None)
     for y, p, r in coarse:
         s, dy, dx = score(y, p, r)

@@ -186,3 +186,39 @@ def test_evaluate_pdf_matches_separate_calls():
     f1, p1 = disney.evaluate_pdf(jnp.asarray(v), jnp.asarray(nrm), jnp.asarray(l), mat)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), rtol=1e-6, atol=1e-8)
+
+
+def test_precompute_view_paths_match():
+    """evaluate_pre / evaluate_pdf_pre must equal the unshared evaluators
+    exactly (same op structure; XLA folds the rest)."""
+    import numpy as np
+    from tpuray.integrator import disney
+
+    rng = np.random.default_rng(12)
+    n_pts = 256
+    n = rng.normal(size=(n_pts, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    v = rng.normal(size=(n_pts, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    l = rng.normal(size=(n_pts, 3)).astype(np.float32)
+    l /= np.linalg.norm(l, axis=-1, keepdims=True)
+    u = lambda a, b: jnp.asarray(rng.uniform(a, b, n_pts).astype(np.float32))
+    mat = disney.ShadeMaterial(
+        emissive=jnp.zeros((n_pts, 3)),
+        base_color=jnp.asarray(rng.uniform(0, 1, (n_pts, 3)).astype(np.float32)),
+        subsurface=u(0, 1), metallic=u(0, 1), specular=u(0, 1),
+        specular_tint=u(0, 1), roughness=u(0.02, 1), sheen=u(0, 1),
+        sheen_tint=u(0, 1), clearcoat=u(0, 1), clearcoat_gloss=u(0.1, 1))
+    v = jnp.asarray(v); n = jnp.asarray(n); l = jnp.asarray(l)
+
+    pre = disney.precompute_view(v, n, mat)
+    f0 = np.asarray(disney.evaluate(v, n, l, mat))
+    f1 = np.asarray(disney.evaluate_pre(pre, v, n, l, mat))
+    np.testing.assert_allclose(f0, f1, rtol=1e-6, atol=1e-7)
+
+    f2, p2 = disney.evaluate_pdf(v, n, l, mat)
+    f3, p3 = disney.evaluate_pdf_pre(pre, v, n, l, mat)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f3), rtol=1e-6,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p3), rtol=1e-6,
+                               atol=1e-7)

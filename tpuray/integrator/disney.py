@@ -364,3 +364,101 @@ def sample(xi1: Array, xi2: Array, xi3: Array, v: Array, n: Array,
     use_d = (xi3 <= p_d)[..., None]
     use_s = ((xi3 > p_d) & (xi3 <= p_d + p_s))[..., None]
     return jnp.where(use_d, l_diffuse, jnp.where(use_s, l_specular, l_clearcoat))
+
+
+class ViewPre(NamedTuple):
+    """L-independent precompute shared by every BSDF evaluation at one
+    shading point (the integrator evaluates f_r for 3 directions per
+    bounce: envmap NEE, point NEE, sampled bounce — path_tracing.frag:948-968
+    re-derives all of this per call; sharing it is free on TPU because the
+    whole frame is one fused XLA graph, we just keep the graph smaller)."""
+
+    ndotv: Array
+    fv: Array            # schlick_fresnel(ndotv)
+    cdlin: Array
+    cspec0: Array
+    csheen: Array
+    alpha: Array         # GTR2 roughness^2 (clamped)
+    alpha_cc: Array      # GTR1 clearcoat alpha
+    gs_v: Array          # smith_g_ggx(ndotv, roughness)
+    gr_v: Array          # smith_g_ggx(ndotv, 0.25)
+    p_d: Array           # lobe probabilities
+    p_s: Array
+    p_c: Array
+
+
+def precompute_view(v: Array, n: Array, mat: ShadeMaterial) -> ViewPre:
+    ndotv = jnp.sum(n * v, axis=-1)
+    ndotv_c = jnp.maximum(ndotv, 1e-6)
+    cdlin, cspec0, csheen = _colors(mat)
+    alpha = jnp.maximum(0.001, mat.roughness * mat.roughness)
+    alpha_cc = 0.1 + (0.001 - 0.1) * mat.clearcoat_gloss
+    p_d, p_s, p_c = _lobe_probs(mat)
+    return ViewPre(
+        ndotv=ndotv, fv=schlick_fresnel(ndotv_c), cdlin=cdlin,
+        cspec0=cspec0, csheen=csheen, alpha=alpha, alpha_cc=alpha_cc,
+        gs_v=smith_g_ggx(ndotv_c, mat.roughness),
+        gr_v=smith_g_ggx(ndotv_c, 0.25), p_d=p_d, p_s=p_s, p_c=p_c)
+
+
+def _eval_core(pre: ViewPre, v: Array, n: Array, l: Array,
+               mat: ShadeMaterial, want_pdf: bool):
+    ndotl = jnp.sum(n * l, axis=-1)
+    valid = (ndotl >= 0) & (pre.ndotv >= 0)
+    ndotl = jnp.maximum(ndotl, 1e-6)
+    ndotv = jnp.maximum(pre.ndotv, 1e-6)
+
+    h = safe_normalize(l + v)
+    ndoth = jnp.sum(n * h, axis=-1)
+    ldoth = jnp.sum(l * h, axis=-1)
+
+    fd90 = 0.5 + 2.0 * ldoth * ldoth * mat.roughness
+    fl = schlick_fresnel(ndotl)
+    fv = pre.fv
+    fd = (1.0 + (fd90 - 1.0) * fl) * (1.0 + (fd90 - 1.0) * fv)
+    fss90 = ldoth * ldoth * mat.roughness
+    fss = (1.0 + (fss90 - 1.0) * fl) * (1.0 + (fss90 - 1.0) * fv)
+    denom = jnp.maximum(ndotl + ndotv, 1e-8)
+    ss = 1.25 * (fss * (1.0 / denom - 0.5) + 0.5)
+
+    ds = gtr2(ndoth, pre.alpha)
+    fh = schlick_fresnel(ldoth)
+    fs = pre.cspec0 * (1.0 - fh[..., None]) + fh[..., None]
+    gs = smith_g_ggx(ndotl, mat.roughness) * pre.gs_v
+
+    dr = gtr1(ndoth, pre.alpha_cc)
+    fr = 0.04 + 0.96 * fh
+    gr = smith_g_ggx(ndotl, 0.25) * pre.gr_v
+
+    fsheen = fh[..., None] * mat.sheen[..., None] * pre.csheen
+    diffuse_scalar = (1.0 / PI) * (fd + (ss - fd) * mat.subsurface)
+    diffuse = diffuse_scalar[..., None] * pre.cdlin + fsheen
+    specular = (gs * ds)[..., None] * fs
+    clearcoat = (0.25 * gr * fr * dr * mat.clearcoat)[..., None]
+    f = diffuse * (1.0 - mat.metallic[..., None]) + specular + clearcoat
+    f = jnp.where(valid[..., None], f, 0.0)
+    if not want_pdf:
+        return f, None
+
+    pdf_diffuse = ndotl / PI
+    safe_ldoth = jnp.where(jnp.abs(ldoth) < 1e-8, 1e-8, ldoth)
+    pdf_specular = ds * ndoth / (4.0 * safe_ldoth)
+    pdf_clearcoat = dr * ndoth / (4.0 * safe_ldoth)
+    p = (pre.p_d * pdf_diffuse + pre.p_s * pdf_specular
+         + pre.p_c * pdf_clearcoat)
+    p = jnp.where(valid, jnp.maximum(p, 1e-10), 0.0)
+    return f, p
+
+
+def evaluate_pre(pre: ViewPre, v: Array, n: Array, l: Array,
+                 mat: ShadeMaterial) -> Array:
+    """evaluate() with the view-dependent terms shared (exact same math)."""
+    f, _ = _eval_core(pre, v, n, l, mat, want_pdf=False)
+    return f
+
+
+def evaluate_pdf_pre(pre: ViewPre, v: Array, n: Array, l: Array,
+                     mat: ShadeMaterial) -> tuple[Array, Array]:
+    """evaluate_pdf() with the view-dependent terms shared."""
+    f, p = _eval_core(pre, v, n, l, mat, want_pdf=True)
+    return f, p

@@ -195,7 +195,8 @@ def resolve_hit(scene: Scene, orig: Array, d: Array, t: Array, idx: Array,
 
 def _env_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array,
              r1: Array, r2: Array, tile_repeat: int = 1,
-             active: Array | None = None) -> tuple[Array, Array]:
+             active: Array | None = None,
+             pre: "disney.ViewPre | None" = None) -> tuple[Array, Array]:
     """Envmap light sample with shadow ray (hdriLight,
     path_tracing.frag:922-946). Returns (contribution, pdf).
 
@@ -224,7 +225,8 @@ def _env_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array,
                     any_hit=True)
     blocked = sidx >= 0
 
-    f_r = disney.evaluate(v, hit.normal, l, hit.mat)
+    f_r = (disney.evaluate_pre(pre, v, hit.normal, l, hit.mat)
+           if pre is not None else disney.evaluate(v, hit.normal, l, hit.mat))
     p = jnp.where(blocked, 0.0, p)
     # divisor must stay finite on blocked lanes: an inf in the unselected
     # where-branch turns into 0*inf = NaN in the backward pass
@@ -236,7 +238,8 @@ def _env_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array,
 
 
 def _point_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array, u: Array,
-               active: Array | None = None) -> tuple[Array, Array]:
+               active: Array | None = None,
+               pre: "disney.ViewPre | None" = None) -> tuple[Array, Array]:
     """Point-light sample with shadow ray (calculatePointLight,
     path_tracing.frag:884-919): uniform light pick, pdf = 2*pi/n_lights,
     quadratic falloff."""
@@ -262,7 +265,9 @@ def _point_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array, u: Array,
 
     pdf = jnp.full(dist.shape, 2.0 * PI / n_lights, jnp.float32)
     falloff = lrad / jnp.maximum(dist * dist, 1e-12)[..., None]
-    f_r = disney.evaluate(v, hit.normal, ldir, hit.mat)
+    f_r = (disney.evaluate_pre(pre, v, hit.normal, ldir, hit.mat)
+           if pre is not None else disney.evaluate(v, hit.normal, ldir,
+                                                   hit.mat))
     contrib = (falloff * f_r
                * jnp.abs(jnp.sum(ldir * hit.normal, axis=-1))[..., None] / pdf[..., None])
     contrib = jnp.where(shadowed[..., None], 0.0, contrib)
@@ -377,7 +382,10 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
         alive = alive & (ndotl > 0.0)
 
         # shade (frag:948-968): env NEE + point NEE + BSDF-emissive, weighted
-        f_r, brdf_pdf = disney.evaluate_pdf(v, hit.normal, l_new, hit.mat)
+        # — three BSDF evaluations share one view-dependent precompute
+        pre = disney.precompute_view(v, hit.normal, hit.mat)
+        f_r, brdf_pdf = disney.evaluate_pdf_pre(pre, v, hit.normal, l_new,
+                                                hit.mat)
         if coherent:
             # env NEE randoms stay per-tile (UNrepeated): the envmap
             # cache/pdf/radiance gathers then run at n_tiles rows
@@ -385,14 +393,16 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
             er2_t, tseed = rng.rand(tseed)
             lu, tseed = tile_rand(tseed)
             env_c, env_pdf_v = _env_nee(scene, pk, hit, v, er1_t, er2_t,
-                                        tile_repeat=_BLOCK, active=alive)
+                                        tile_repeat=_BLOCK, active=alive,
+                                        pre=pre)
         else:
             er1, seed = rng.rand(seed)
             er2, seed = rng.rand(seed)
             lu, seed = rng.rand(seed)
             env_c, env_pdf_v = _env_nee(scene, pk, hit, v, er1, er2,
-                                        active=alive)
-        pt_c, pt_pdf_v = _point_nee(scene, pk, hit, v, lu, active=alive)
+                                        active=alive, pre=pre)
+        pt_c, pt_pdf_v = _point_nee(scene, pk, hit, v, lu, active=alive,
+                                    pre=pre)
         cos_term = jnp.abs(ndotl)[..., None]
         brdf_c = hit.mat.emissive * f_r * cos_term / jnp.maximum(brdf_pdf, 1e-12)[..., None]
 
