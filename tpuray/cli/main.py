@@ -70,12 +70,22 @@ def cmd_render(args) -> int:
         from tpuray.utils.elastic import run_elastic
         snap = cam.snapshot()
 
+        seen = set()
+
         def frame_fn(state, frame):
+            import jax
             t0 = time.perf_counter()
             state, out = render_frame(scene, snap, state, cfg,
                                       cfg.height, cfg.width)
+            # block before recording (matching the non-elastic loop, which
+            # measures completed frames, not async dispatch), and record
+            # each frame index once — replays after a restore would
+            # otherwise double-count (ADVICE r3)
+            jax.block_until_ready(out.final)
             r.last_outputs = out
-            metrics.record(time.perf_counter() - t0)
+            if frame not in seen:
+                seen.add(frame)
+                metrics.record(time.perf_counter() - t0)
             return state
 
         ck = args.elastic

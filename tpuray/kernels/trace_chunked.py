@@ -335,12 +335,45 @@ def _trace_chunked_jvp(chunk_nodes, chunk_tris, any_hit, common_origin,
                       np.zeros(idx.shape, jax.dtypes.float0))
 
 
+def trace_packed_forest(meta: Array, aabb: Array, tverts: Array,
+                        orig: Array, d: Array, t_max: Array,
+                        chunk_nodes: int, chunk_tris: int,
+                        any_hit: bool = False,
+                        common_origin: bool = False) -> tuple[Array, Array]:
+    """Trace against pre-packed forest tables (public entry for callers that
+    cache pack_forest output themselves, e.g. bench.py)."""
+    return _trace_chunked_cj(meta, aabb, tverts, orig, d, t_max,
+                             int(chunk_nodes), int(chunk_tris),
+                             bool(any_hit), bool(common_origin))
+
+
+# Host-side pack cache for EAGER callers (inside jit, pack_forest is traced
+# once and costs nothing). Keyed on the identity of the concrete input
+# arrays; entries hold strong refs to the keys so ids cannot be recycled.
+# Bounded FIFO (ADVICE r3).
+_PACK_CACHE: dict = {}
+
+
+def _pack_forest_cached(bvh: BVHSoA, tri: TriangleSoA):
+    if isinstance(bvh.skip, jax.core.Tracer):
+        return pack_forest(bvh, tri)  # under trace: no host cache
+    key = (id(bvh.skip), id(tri.p0), bvh.chunk_nodes, bvh.chunk_tris)
+    hit = _PACK_CACHE.get(key)
+    if hit is not None:
+        return hit[2]
+    packed = pack_forest(bvh, tri)
+    if len(_PACK_CACHE) >= 4:
+        _PACK_CACHE.pop(next(iter(_PACK_CACHE)))
+    _PACK_CACHE[key] = (bvh.skip, tri.p0, packed)
+    return packed
+
+
 def trace_chunked(bvh: BVHSoA, tri: TriangleSoA, orig: Array, d: Array,
                   t_max: Array | float = INF, any_hit: bool = False,
                   common_origin: bool = False) -> tuple[Array, Array]:
     """Drop-in replacement for integrator.intersect.trace on chunked
     forests. Same output contract as trace_pallas.trace_pallas."""
-    meta, aabb, tverts = pack_forest(bvh, tri)
+    meta, aabb, tverts = _pack_forest_cached(bvh, tri)
     n = orig.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     return _trace_chunked_cj(meta, aabb, tverts, orig, d, t_max,

@@ -31,22 +31,29 @@ from tpuray.utils.checkpoint import load_frame_state, save_frame_state
 
 log = logging.getLogger("tpuray.elastic")
 
-# Exception types/messages that indicate a *device/runtime* fault (worth a
-# restart) rather than a programming error (re-raise immediately).
-_FAULT_MARKERS = (
-    "UNAVAILABLE", "INTERNAL", "DATA_LOSS", "ABORTED",
-    "worker process crashed", "device", "DEADLINE_EXCEEDED",
+# Status-code prefixes that indicate a *device/runtime* fault (worth a
+# restart) rather than a programming error (re-raise immediately). Matched
+# as message prefixes — substring search over the whole message would
+# misclassify ordinary JAX type/placement errors whose text mentions a
+# device (ADVICE r3).
+_FAULT_PREFIXES = (
+    "UNAVAILABLE", "INTERNAL", "DATA_LOSS", "ABORTED", "DEADLINE_EXCEEDED",
 )
+_FAULT_SUBSTRINGS = ("worker process crashed",)
 
 
 def is_device_fault(exc: BaseException) -> bool:
     if isinstance(exc, (KeyboardInterrupt, SystemExit)):
         return False
     name = type(exc).__name__
-    msg = f"{name}: {exc}"
+    msg = str(exc)
     if name in ("JaxRuntimeError", "XlaRuntimeError"):
-        return True
-    return any(m in msg for m in _FAULT_MARKERS)
+        # runtime-layer errors still carry status codes; INVALID_ARGUMENT
+        # etc. are programming errors even from the runtime
+        return (msg.lstrip().startswith(_FAULT_PREFIXES)
+                or any(m in msg for m in _FAULT_SUBSTRINGS))
+    return (msg.lstrip().startswith(_FAULT_PREFIXES)
+            or any(m in msg for m in _FAULT_SUBSTRINGS))
 
 
 @dataclass
@@ -79,6 +86,12 @@ def run_elastic(frame_fn: Callable[[FrameState, int], FrameState],
     state = initial_state
     frame = int(state.frame_idx)
     restarts_in_row = 0
+    # Write an initial checkpoint at loop entry so a first-frame fault can
+    # only ever restore state produced by THIS run — a stale file from a
+    # previous run (different scene/config, or frame_idx >= n_frames which
+    # would silently end the loop) must never be trusted (ADVICE r3).
+    save_frame_state(checkpoint_path, state)
+    stats.checkpoints += 1
 
     while frame < n_frames:
         try:
