@@ -32,6 +32,7 @@ def timed(fn, sync, iters=10, trials=3):
 
 def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 800
+    compact = float(sys.argv[2]) if len(sys.argv) > 2 else None
 
     from tpuray import Renderer, RenderConfig
     from tpuray.scene.builder import reference_default_scene
@@ -39,6 +40,8 @@ def main():
 
     scene = reference_default_scene()
     cfg = RenderConfig(width=size, height=size)
+    if compact is not None:
+        cfg = cfg.replace(compact_frac=compact)
     cam = OrbitCamera(width=size, height=size)
     r = Renderer(scene, cfg)
 

@@ -64,7 +64,7 @@ def test_sharded_frame_matches_single(scene, cfg):
     sharded, d_state = _run_sharded(scene, cfg, frames)
     for i, (a, b) in enumerate(zip(single, sharded)):
         assert np.isfinite(b).all()
-        np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-4,
+        np.testing.assert_allclose(b, a, rtol=1e-3, atol=5e-4,  # compaction reassociates per-shard fusion
                                    err_msg=f"frame {i}")
     np.testing.assert_allclose(np.asarray(d_state.history_len),
                                np.asarray(s_state.history_len),
@@ -77,7 +77,7 @@ def test_sharded_frame_mesh_size_invariant(scene, cfg):
     two, _ = _run_sharded(scene, cfg, frames, n_dev=2, halo=6)
     eight, _ = _run_sharded(scene, cfg, frames, n_dev=8, halo=6)
     for a, b in zip(two, eight):
-        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-4)
 
 
 def test_sharded_layout(scene, cfg):

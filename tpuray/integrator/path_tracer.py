@@ -284,24 +284,32 @@ class PTOutput(NamedTuple):
     first_hit_normal: Array  # (N, 3)
 
 
-def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
-                frame: Array | int, cfg: RenderConfig,
-                common_origin: bool = False) -> PTOutput:
-    """One sample per ray, up to cfg.max_tracing_depth bounces.
+class _ShadeOut(NamedTuple):
+    """Per-lane results of the NEE + bounce loop (before the env fetch)."""
+    light: Array           # (N, 3) accumulated NEE/emissive radiance
+    miss_any: Array        # (N,) bool — ray escaped at some bounce
+    miss_dir: Array        # (N, 3) escape direction
+    miss_reduction: Array  # (N, 3) throughput at escape
+    emission0: Array       # (N, 3) first-hit emissive (zero for miss lanes)
+    albedo0: Array         # (N, 3) first-hit base color
+    valid0: Array          # (N,) bool first-hit validity
+    point0: Array          # (N, 3) first-hit point (zero for miss lanes)
+    normal0: Array         # (N, 3) first-hit shading normal
 
-    orig/d: (N, 3); px/py: (N,) integer *global* pixel coords (RNG seeds —
-    global so image tiles shard without changing the picture); frame: scalar.
-    common_origin: caller asserts all rays share one origin (pinhole-camera
-    primaries) — lets the bounce-0 packet kernel hoist the origin to the
-    scalar core (bit-identical output).
+
+def _shade_loop(scene: Scene, pk: PackedScene, cfg: RenderConfig,
+                orig: Array, d: Array, px: Array, py: Array,
+                frame: Array | int, first_t: Array, first_idx: Array,
+                coherent: bool = False) -> _ShadeOut:
+    """The per-bounce NEE + BSDF loop, with the bounce-0 traversal given.
+
+    Every sample stream is keyed on (px, py, frame) — lane POSITION never
+    enters the math (except in `coherent` tile mode) — so running this loop
+    on a compacted subset of lanes yields bit-identical per-pixel results
+    (the compaction property trace_paths relies on). Lanes whose first_idx
+    is < 0 are miss lanes: they report the environment escape at bounce 0.
     """
-    if cfg.integrator == "mis":
-        from tpuray.integrator.mis import trace_paths_mis
-        return trace_paths_mis(scene, orig, d, px, py, frame, cfg,
-                               common_origin=common_origin)
     n = orig.shape[0]
-    pk = pack_scene_tables(scene)  # wide-gather tables (cheap reshuffles)
-
     seed = rng.pixel_seed(px, py, frame)
     # the reference draws (and discards) an AA jitter first
     # (path_tracing.frag:1060) — consume the stream identically
@@ -309,7 +317,6 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
     _, seed = rng.rand(seed)
 
     from tpuray.kernels.trace_pallas import PACKET as _BLOCK
-    coherent = cfg.tile_coherent_sampling and n % _BLOCK == 0
     if coherent:
         # per-tile secondary-ray randoms (see RenderConfig): one stream per
         # 1024-ray packet, values broadcast across the tile
@@ -340,26 +347,27 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
 
     emission0 = jnp.zeros((n, 3), jnp.float32)
     albedo0 = jnp.zeros((n, 3), jnp.float32)
-    t0 = jnp.full((n,), INF, jnp.float32)
     valid0 = jnp.zeros((n,), bool)
     point0 = jnp.zeros((n, 3), jnp.float32)
     normal0 = jnp.zeros((n, 3), jnp.float32)
 
     for bounce in range(cfg.max_tracing_depth):
-        # terminated paths stop paying for traversal: t_max = 0 marks the
-        # lane dead to the packet kernel (bounce 0: everything is alive)
-        b_tmax = INF if bounce == 0 else jnp.where(alive, INF, 0.0)
-        t, idx = trace(scene.bvh, scene.triangles, orig, d, t_max=b_tmax,
-                       common_origin=common_origin and bounce == 0)
+        if bounce == 0:
+            t, idx = first_t, first_idx
+        else:
+            # terminated paths stop paying for traversal: t_max = 0 marks
+            # the lane dead to the packet kernel
+            b_tmax = jnp.where(alive, INF, 0.0)
+            t, idx = trace(scene.bvh, scene.triangles, orig, d, t_max=b_tmax)
         hit = resolve_hit(scene, orig, d, t, idx, cfg, pk)
 
         if bounce == 0:
-            emission0 = jnp.where(hit.valid[..., None], hit.mat.emissive, 0.0)
-            albedo0 = jnp.where(hit.valid[..., None], hit.mat.base_color, 0.0)
-            t0 = t
+            vmask = hit.valid[..., None]
+            emission0 = jnp.where(vmask, hit.mat.emissive, 0.0)
+            albedo0 = jnp.where(vmask, hit.mat.base_color, 0.0)
             valid0 = hit.valid
-            point0 = hit.point
-            normal0 = hit.normal
+            point0 = jnp.where(vmask, hit.point, 0.0)
+            normal0 = jnp.where(vmask, hit.normal, 0.0)
 
         # miss -> environment radiance, terminate (path_tracing.frag:1084-1087)
         miss = alive & ~hit.valid
@@ -420,14 +428,151 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
         orig = hit.point
         d = jnp.where(alive[..., None], l_new, d)
 
-    env_rad = env.env_radiance_packed(pk.env_image_q, miss_dir)
-    light = light + jnp.where(miss_any[..., None],
-                              env_rad * miss_reduction, 0.0)
+    return _ShadeOut(light=light, miss_any=miss_any, miss_dir=miss_dir,
+                     miss_reduction=miss_reduction, emission0=emission0,
+                     albedo0=albedo0, valid0=valid0, point0=point0,
+                     normal0=normal0)
+
+
+def _compact_budget(n: int, cfg: RenderConfig) -> int:
+    """Compacted-wavefront size: compact_frac * n rounded up to 512 lanes
+    (the packet kernel pads its own input to PACKET internally, so the
+    budget itself needs no PACKET alignment)."""
+    if cfg.compact_frac <= 0.0 or cfg.tile_coherent_sampling:
+        return 0
+    budget = (int(n * cfg.compact_frac) + 511) // 512 * 512
+    if budget <= 0 or budget >= n:
+        return 0
+    return budget
+
+
+def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
+                frame: Array | int, cfg: RenderConfig,
+                common_origin: bool = False) -> PTOutput:
+    """One sample per ray, up to cfg.max_tracing_depth bounces.
+
+    orig/d: (N, 3); px/py: (N,) integer *global* pixel coords (RNG seeds —
+    global so image tiles shard without changing the picture); frame: scalar.
+    common_origin: caller asserts all rays share one origin (pinhole-camera
+    primaries) — lets the bounce-0 packet kernel hoist the origin to the
+    scalar core (bit-identical output).
+
+    Bounce-boundary compaction (cfg.compact_frac): after the primary trace,
+    the surviving lanes are packed densely into a compact_frac-sized buffer
+    and the whole shading loop runs at that size — sky lanes stop paying for
+    Disney/RNG math, table gathers and (because the dead tail forms whole
+    dead packets) the incoherent secondary traversals. Per-pixel results are
+    bit-identical to the uncompacted loop (sample streams are keyed on
+    pixel, not lane). If more lanes survive than the budget, a residual
+    full-width pass handles the overflow lanes under lax.cond, so the
+    fast path stays exact for any scene coverage.
+    """
+    if cfg.integrator == "mis":
+        from tpuray.integrator.mis import trace_paths_mis
+        return trace_paths_mis(scene, orig, d, px, py, frame, cfg,
+                               common_origin=common_origin)
+    n = orig.shape[0]
+    pk = pack_scene_tables(scene)  # wide-gather tables (cheap reshuffles)
+    coherent = (cfg.tile_coherent_sampling and n % 4096 == 0)
+
+    t0_full, idx0_full = trace(scene.bvh, scene.triangles, orig, d,
+                               t_max=INF, common_origin=common_origin)
+    alive0 = idx0_full >= 0
+
+    budget = _compact_budget(n, cfg)
+    if budget == 0:
+        out = _shade_loop(scene, pk, cfg, orig, d, px, py, frame,
+                          t0_full, idx0_full, coherent=coherent)
+    else:
+        # stable compaction: sel = the first `budget` surviving lane ids in
+        # tile order (preserves spatial coherence inside packets); padding
+        # lanes get first_idx = -1 (treated as miss; their zero
+        # contributions are masked at scatter time)
+        rank = jnp.cumsum(alive0.astype(jnp.int32)) - 1
+        n_alive = rank[-1] + 1
+        in_sel = alive0 & (rank < budget)
+        sel = jnp.nonzero(in_sel, size=budget, fill_value=0)[0]
+        lane_ok = (jnp.arange(budget) < n_alive)
+
+        c = _shade_loop(
+            scene, pk, cfg, orig[sel], d[sel], px[sel], py[sel], frame,
+            jnp.where(lane_ok, t0_full[sel], INF),
+            jnp.where(lane_ok, idx0_full[sel], -1),
+            coherent=False)
+
+        def scat(full_init, comp, mask1):
+            m = mask1 if comp.ndim == 1 else mask1[..., None]
+            return full_init.at[sel].add(jnp.where(m, comp, 0))
+
+        z3 = jnp.zeros((n, 3), jnp.float32)
+        light = scat(z3, c.light, lane_ok)
+        emission0 = scat(z3, c.emission0, lane_ok)
+        albedo0 = scat(z3, c.albedo0, lane_ok)
+        point0 = scat(z3, c.point0, lane_ok)
+        normal0 = scat(z3, c.normal0, lane_ok)
+        valid0 = jnp.zeros((n,), bool).at[sel].max(c.valid0 & lane_ok)
+        # miss bookkeeping: compacted lanes that escaped at a later bounce,
+        # plus every primary-miss lane (never selected). Base the direction
+        # field on d (unit vectors) rather than zeros: lanes that never miss
+        # still flow through the env fetch, and a zero direction would NaN
+        # its normalization (poisoning the backward pass even under where).
+        miss_any = jnp.zeros((n,), bool).at[sel].max(c.miss_any & lane_ok)
+        miss_dir = d.at[sel].add(
+            jnp.where(lane_ok[..., None], c.miss_dir - d[sel], 0))
+        miss_red = z3.at[sel].add(
+            jnp.where((c.miss_any & lane_ok)[..., None], c.miss_reduction, 0))
+        miss_any = miss_any | ~alive0
+        miss_red = jnp.where((~alive0)[..., None], 1.0, miss_red)
+
+        # residual pass: only if more lanes survived than the budget (rare
+        # with a sane compact_frac; exact either way). Runs the full-width
+        # loop with every in-sel/miss lane masked off.
+        def residual(_):
+            r_alive = alive0 & ~in_sel
+            r = _shade_loop(scene, pk, cfg, orig, d, px, py, frame,
+                            jnp.where(r_alive, t0_full, INF),
+                            jnp.where(r_alive, idx0_full, -1),
+                            coherent=False)
+            # lanes masked OFF this pass (first_idx forced to -1) report a
+            # bounce-0 "miss" — scrub it, or the merge below would hand
+            # every such lane a full-strength env contribution on top of
+            # its real (compacted-pass) radiance
+            mm = r.miss_any & r_alive
+            return r._replace(
+                miss_any=mm,
+                miss_reduction=jnp.where(mm[..., None], r.miss_reduction, 0.0))
+
+        def no_residual(_):
+            return _ShadeOut(
+                light=z3, miss_any=jnp.zeros((n,), bool), miss_dir=z3,
+                miss_reduction=z3, emission0=z3, albedo0=z3,
+                valid0=jnp.zeros((n,), bool), point0=z3, normal0=z3)
+
+        r = jax.lax.cond(n_alive > budget, residual, no_residual, 0)
+        light = light + r.light
+        emission0 = emission0 + r.emission0
+        albedo0 = albedo0 + r.albedo0
+        point0 = point0 + r.point0
+        normal0 = normal0 + r.normal0
+        valid0 = valid0 | r.valid0
+        miss_dir = jnp.where(r.miss_any[..., None], r.miss_dir, miss_dir)
+        miss_red = jnp.where(r.miss_any[..., None], r.miss_reduction, miss_red)
+        miss_any = miss_any | r.miss_any
+
+        out = _ShadeOut(light=light, miss_any=miss_any, miss_dir=miss_dir,
+                        miss_reduction=miss_red, emission0=emission0,
+                        albedo0=albedo0, valid0=valid0, point0=point0,
+                        normal0=normal0)
+
+    env_rad = env.env_radiance_packed(pk.env_image_q, out.miss_dir)
+    light = out.light + jnp.where(out.miss_any[..., None],
+                                  env_rad * out.miss_reduction, 0.0)
 
     # clamp + NaN scrub (frag:1110-1113)
     light = jnp.clip(light, 0.0, cfg.clamp_threshold)
     light = jnp.where(jnp.isnan(light), 0.0, light)
 
-    return PTOutput(color=light, emission=emission0, albedo=albedo0,
-                    first_hit_t=t0, first_hit_valid=valid0,
-                    first_hit_point=point0, first_hit_normal=normal0)
+    return PTOutput(color=light, emission=out.emission0, albedo=out.albedo0,
+                    first_hit_t=t0_full, first_hit_valid=out.valid0,
+                    first_hit_point=out.point0,
+                    first_hit_normal=out.normal0)

@@ -52,7 +52,8 @@ MAX_LEAF = 8     # builder leaf size (accel/bvh.py); asserted at pack time
 def _kernel(meta_ref, aabb_ref, tverts_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
             t_out, idx_out, t_scr, idx_scr, stack_ref,
-            *, n_nodes: int, any_hit: bool, common_origin: bool):
+            *, n_nodes: int, any_hit: bool, common_origin: bool,
+            rows: int = PACKET_ROWS):
     if common_origin:
         # all rays share one origin (pinhole-camera primaries): hoist it to
         # the scalar core so the slab diffs and the triangle-plane offset
@@ -210,8 +211,8 @@ def _kernel(meta_ref, aabb_ref, tverts_ref,
             sp = jnp.where(jnp.all((idx_scr[...] >= 0) | dead), 0, sp)
         return sp
 
-    t_scr[...] = jnp.full((PACKET_ROWS, PACKET_LANES), INF, jnp.float32)
-    idx_scr[...] = jnp.full((PACKET_ROWS, PACKET_LANES), -1, jnp.int32)
+    t_scr[...] = jnp.full((rows, PACKET_LANES), INF, jnp.float32)
+    idx_scr[...] = jnp.full((rows, PACKET_LANES), -1, jnp.int32)
     # bootstrap: test the root (node 0) itself once, then run the paired
     # children walk. Near-first ordered DFS with a *scalar* stack in SMEM;
     # the while carry is the stack pointer only (Mosaic mishandles large
@@ -235,11 +236,12 @@ def scene_fits_smem(n_nodes: int, n_tris: int) -> bool:
     return smem_bytes < 900_000
 
 
-@partial(jax.jit, static_argnames=("any_hit", "common_origin"))
+@partial(jax.jit, static_argnames=("any_hit", "common_origin", "rows"))
 def _trace_packets_impl(meta: Array, aabb: Array, tverts: Array,
                         orig: Array, d: Array, t_max: Array,
                         any_hit: bool = False,
-                        common_origin: bool = False) -> tuple[Array, Array]:
+                        common_origin: bool = False,
+                        rows: int = PACKET_ROWS) -> tuple[Array, Array]:
     """Packet traversal over N rays (padded to a multiple of PACKET).
 
     meta: (5, n_nodes) int32 [first_tri; tri_count; right_child; axis; left_low]
@@ -252,11 +254,12 @@ def _trace_packets_impl(meta: Array, aabb: Array, tverts: Array,
     """
     n = orig.shape[0]
     n_nodes = meta.shape[1]
+    packet = rows * PACKET_LANES
     smem_bytes = (meta.size + aabb.size + tverts.size) * 4 + 18 * 512
     assert smem_bytes < 900_000, (
         f"scene scalar tables ({smem_bytes}B) exceed the SMEM budget; "
         "callers should check scene_fits_smem() and use the XLA wavefront")
-    n_pad = (n + PACKET - 1) // PACKET * PACKET
+    n_pad = (n + packet - 1) // packet * packet
     pad = n_pad - n
 
     def prep(x, fill):
@@ -268,12 +271,12 @@ def _trace_packets_impl(meta: Array, aabb: Array, tverts: Array,
     dd = prep(d, 1.0)
     tm = prep(t_max, -1.0)  # padded rays: t_max < 0 -> never hit
 
-    n_packets = n_pad // PACKET
-    shape2 = (n_packets * PACKET_ROWS, PACKET_LANES)
+    n_packets = n_pad // packet
+    shape2 = (n_packets * rows, PACKET_LANES)
     comps = [orig[:, 0], orig[:, 1], orig[:, 2], dd[:, 0], dd[:, 1], dd[:, 2], tm]
     comps = [c.reshape(shape2) for c in comps]
 
-    ray_spec = pl.BlockSpec((PACKET_ROWS, PACKET_LANES),
+    ray_spec = pl.BlockSpec((rows, PACKET_LANES),
                             lambda i: (i, 0), memory_space=pltpu.VMEM)
     # Scene tables ride REGULAR whole-array SMEM in_specs, NOT scalar
     # prefetch: scalar-prefetch operands silently truncate beyond ~1024
@@ -295,20 +298,20 @@ def _trace_packets_impl(meta: Array, aabb: Array, tverts: Array,
     ]
 
     kernel = functools.partial(_kernel, n_nodes=n_nodes, any_hit=any_hit,
-                               common_origin=common_origin)
+                               common_origin=common_origin, rows=rows)
     t, idx = pl.pallas_call(
         kernel,
         grid=(n_packets,),
         in_specs=tab_specs + [ray_spec] * 7,
         out_specs=[
-            pl.BlockSpec((PACKET_ROWS, PACKET_LANES), lambda i: (i, 0),
+            pl.BlockSpec((rows, PACKET_LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PACKET_ROWS, PACKET_LANES), lambda i: (i, 0),
+            pl.BlockSpec((rows, PACKET_LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((PACKET_ROWS, PACKET_LANES), jnp.float32),
-            pltpu.VMEM((PACKET_ROWS, PACKET_LANES), jnp.int32),
+            pltpu.VMEM((rows, PACKET_LANES), jnp.float32),
+            pltpu.VMEM((rows, PACKET_LANES), jnp.int32),
             pltpu.SMEM((MAX_STACK,), jnp.int32),
         ],
         out_shape=[
@@ -320,15 +323,16 @@ def _trace_packets_impl(meta: Array, aabb: Array, tverts: Array,
     return t.reshape(n_pad)[:n], idx.reshape(n_pad)[:n]
 
 
-@partial(jax.custom_jvp, nondiff_argnums=(6, 7))
+@partial(jax.custom_jvp, nondiff_argnums=(6, 7, 8))
 def _trace_packets_cj(meta, aabb, tverts, orig, d, t_max,
-                      any_hit, common_origin):
+                      any_hit, common_origin, rows):
     return _trace_packets_impl(meta, aabb, tverts, orig, d, t_max,
-                               any_hit=any_hit, common_origin=common_origin)
+                               any_hit=any_hit, common_origin=common_origin,
+                               rows=rows)
 
 
 @_trace_packets_cj.defjvp
-def _trace_packets_jvp(any_hit, common_origin, primals, tangents):
+def _trace_packets_jvp(any_hit, common_origin, rows, primals, tangents):
     """Traversal is topology-only by design (module docstring): the
     integrator re-derives everything differentiable from (t, idx) via
     resolve_hit and stop-gradients t. pallas_call has no JVP rule, so an
@@ -336,7 +340,7 @@ def _trace_packets_jvp(any_hit, common_origin, primals, tangents):
     rendered frame) would fail without this: declare zero tangents here and
     let gradients flow through the shading re-derivation instead."""
     del tangents
-    t, idx = _trace_packets_cj(*primals, any_hit, common_origin)
+    t, idx = _trace_packets_cj(*primals, any_hit, common_origin, rows)
     return (t, idx), (jnp.zeros_like(t),
                       np.zeros(idx.shape, jax.dtypes.float0))
 
@@ -344,10 +348,11 @@ def _trace_packets_jvp(any_hit, common_origin, primals, tangents):
 def trace_packets(meta: Array, aabb: Array, tverts: Array,
                   orig: Array, d: Array, t_max: Array,
                   any_hit: bool = False,
-                  common_origin: bool = False) -> tuple[Array, Array]:
+                  common_origin: bool = False,
+                  rows: int = PACKET_ROWS) -> tuple[Array, Array]:
     """See _trace_packets_impl; this wrapper adds the zero-tangent JVP."""
     return _trace_packets_cj(meta, aabb, tverts, orig, d, t_max,
-                             bool(any_hit), bool(common_origin))
+                             bool(any_hit), bool(common_origin), int(rows))
 
 
 # ---------------------------------------------------------------------------

@@ -88,6 +88,19 @@ class RenderConfig:
     # by the Sobol sequence). Off = reference per-pixel semantics.
     tile_coherent_sampling: bool = False
 
+    # Bounce-boundary ray compaction (integrator/path_tracer.py): after the
+    # primary trace, pack the surviving (hit) lanes densely into a buffer of
+    # compact_frac * n rays and run the whole NEE + bounce loop at that
+    # size — sky lanes stop paying for shading, gathers AND the incoherent
+    # secondary traversals (dead packets at the compacted tail are skipped
+    # by the packet kernel). Bit-identical per-pixel output: every sample
+    # stream is keyed on (pixel, frame), not lane position. Frames where
+    # more rays survive than the budget run a residual full-width pass for
+    # the overflow lanes (lax.cond — only pays when it happens).
+    # 0 disables. Ignored under tile_coherent_sampling (tile randoms are
+    # keyed on lane position).
+    compact_frac: float = 0.5
+
     # output
     tonemap_limit: float = 1.5          # output_pass.frag:13
     gamma: float = 2.2
