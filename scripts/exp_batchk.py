@@ -262,8 +262,8 @@ def main():
     t_ref, i_ref = tp.trace_packets(meta, aabb, tverts, p, d_inc, tm)
     t_ref = np.asarray(t_ref)
 
-    for rows in (32, 128, 256):
-        for K in (2, 4, 8):
+    for rows in (128, 256):
+        for K in (4, 8):
             fc = lambda: trace_bk(meta, aabb, tverts, o, d, tm,
                                   common_origin=True, rows=rows, K=K)
             fi = lambda: trace_bk(meta, aabb, tverts, p, d_inc, tm,

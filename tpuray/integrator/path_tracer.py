@@ -59,7 +59,16 @@ def _use_pallas() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+# Packet geometry per ray class (rows of 128 lanes per packet). The kernel
+# pays a fixed ~10.5us per grid step before any traversal work
+# (scripts/exp_overhead.py), so ray classes that walk little of the tree
+# per packet want MANY rays per step; tuned on v5e (scripts/exp_rows_one.py).
+ROWS_COHERENT = 32    # camera primaries: visits dominate less, 32 benched
+ROWS_INCOHERENT = 32  # secondary rays: tuned by exp_rows_one
+
+
 def trace(bvh, tri, orig, d, t_max=INF, any_hit=False, common_origin=False):
+    rows = ROWS_COHERENT if common_origin else ROWS_INCOHERENT
     if _use_pallas():
         if bvh.chunk_nodes:
             # chunked forest (scene/partition.py): the single-tree packet
@@ -70,14 +79,16 @@ def trace(bvh, tri, orig, d, t_max=INF, any_hit=False, common_origin=False):
             if chunk_fits_smem(bvh.chunk_nodes, bvh.chunk_tris):
                 return trace_chunked(bvh, tri, orig, d, t_max=t_max,
                                      any_hit=any_hit,
-                                     common_origin=common_origin)
+                                     common_origin=common_origin,
+                                     rows=rows)
         else:
             from tpuray.kernels.trace_pallas import (
                 scene_fits_smem, trace_pallas)
             if scene_fits_smem(bvh.count, tri.count):
                 return trace_pallas(bvh, tri, orig, d, t_max=t_max,
                                     any_hit=any_hit,
-                                    common_origin=common_origin)
+                                    common_origin=common_origin,
+                                    rows=rows)
         # chunk/scene tables exceed the SMEM budget: fall back to the XLA
         # wavefront (correct for any size, slower) rather than failing
     return trace_xla(bvh, tri, orig, d, t_max=t_max, any_hit=any_hit)

@@ -253,17 +253,60 @@ def pack_forest(bvh: BVHSoA, tri: TriangleSoA) -> tuple[Array, Array, Array]:
             tverts.astype(jnp.float32))
 
 
+def _packet_chunk_flags(comps: list[Array], roots_min: Array,
+                        roots_max: Array, n_packets: int) -> Array:
+    """Conservative per-(packet, chunk) entry flags by interval arithmetic.
+
+    Bounds every ray in a packet by per-axis [origin, inv_direction]
+    intervals and slab-tests the interval bundle against each chunk's root
+    AABB. Overestimates entry (mixed-sign direction components widen the
+    interval to everything) but never misses a real entry, so skipping
+    flag==0 chunks is exact. Cost: O(n_packets * n_chunks) — negligible
+    next to one kernel grid step.
+    """
+    ox, oy, oz, dx, dy, dz, tm = (c.reshape(n_packets, -1) for c in comps)
+
+    def safe_inv(v):
+        tiny = jnp.where(v < 0, np.float32(-1e-20), np.float32(1e-20))
+        return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
+
+    def interval(x):
+        return x.min(axis=1)[:, None], x.max(axis=1)[:, None]  # (P, 1)
+
+    def iprod(alo, ahi, blo, bhi):
+        p1, p2, p3, p4 = alo * blo, alo * bhi, ahi * blo, ahi * bhi
+        return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+                jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
+
+    t1_hi = jnp.full((ox.shape[0], roots_min.shape[1]), INF)
+    t0_lo = jnp.full_like(t1_hi, -INF)
+    for o_c, d_c, ax in ((ox, dx, 0), (oy, dy, 1), (oz, dz, 2)):
+        olo, ohi = interval(o_c)
+        ilo, ihi = interval(safe_inv(d_c))
+        amin = roots_min[ax][None, :]  # (1, C)
+        amax = roots_max[ax][None, :]
+        nlo, nhi = iprod(amin - ohi, amin - olo, ilo, ihi)
+        flo, fhi = iprod(amax - ohi, amax - olo, ilo, ihi)
+        t1_hi = jnp.minimum(t1_hi, jnp.maximum(fhi, nhi))
+        t0_lo = jnp.maximum(t0_lo, jnp.minimum(flo, nlo))
+    tmax_hi = tm.max(axis=1)[:, None]
+    return ((t1_hi >= jnp.maximum(t0_lo, 0.0)) & (t1_hi > 0.0)
+            & (t0_lo < tmax_hi) & (tmax_hi > 0.0))
+
+
 @partial(jax.jit, static_argnames=("chunk_nodes", "chunk_tris", "any_hit",
-                                   "common_origin"))
+                                   "common_origin", "rows"))
 def _trace_chunked_impl(meta: Array, aabb: Array, tverts: Array,
                         orig: Array, d: Array, t_max: Array,
                         chunk_nodes: int, chunk_tris: int,
                         any_hit: bool = False,
-                        common_origin: bool = False) -> tuple[Array, Array]:
+                        common_origin: bool = False,
+                        rows: int = PACKET_ROWS) -> tuple[Array, Array]:
     n = orig.shape[0]
     cn, ct = chunk_nodes, chunk_tris
     n_chunks = meta.shape[1] // cn
-    n_pad = (n + PACKET - 1) // PACKET * PACKET
+    packet = rows * PACKET_LANES
+    n_pad = (n + packet - 1) // packet * packet
     pad = n_pad - n
 
     def prep(x, fill):
@@ -274,15 +317,28 @@ def _trace_chunked_impl(meta: Array, aabb: Array, tverts: Array,
     dd = prep(d, 1.0)
     tm = prep(t_max, -1.0)
 
-    n_packets = n_pad // PACKET
-    shape2 = (n_packets * PACKET_ROWS, PACKET_LANES)
+    n_packets = n_pad // packet
+    shape2 = (n_packets * rows, PACKET_LANES)
     comps = [orig[:, 0], orig[:, 1], orig[:, 2], dd[:, 0], dd[:, 1], dd[:, 2],
              tm]
     comps = [c.reshape(shape2) for c in comps]
     t = jnp.full(shape2, INF, jnp.float32)
     idx = jnp.full(shape2, -1, jnp.int32)
 
-    ray_spec = pl.BlockSpec((PACKET_ROWS, PACKET_LANES),
+    # --- chunk culling + ordering (round-4): conservative per-packet entry
+    # flags against each chunk's root AABB, reduced to a per-chunk any();
+    # chunks no packet can enter are skipped wholesale under lax.cond, and
+    # the survivors run front-to-back from the mean ray origin so the
+    # threaded (t, idx) carry culls far chunks against near hits.
+    roots = aabb.reshape(6, n_chunks, cn)[:, :, 0]  # chunk root = local 0
+    flags = _packet_chunk_flags(comps, roots[:3], roots[3:], n_packets)
+    chunk_live = flags.any(axis=0)  # (C,)
+    centroid = 0.5 * (roots[:3] + roots[3:])  # (3, C)
+    mean_o = jnp.stack([c.mean() for c in comps[:3]])
+    dist = jnp.sum((centroid - mean_o[:, None]) ** 2, axis=0)
+    perm = jnp.argsort(dist).astype(jnp.int32)  # near chunks first
+
+    ray_spec = pl.BlockSpec((rows, PACKET_LANES),
                             lambda p, *_: (p, 0), memory_space=pltpu.VMEM)
     smem_full = [
         pl.BlockSpec((5, cn), lambda p, *_: (0, 0), memory_space=pltpu.SMEM),
@@ -305,32 +361,42 @@ def _trace_chunked_impl(meta: Array, aabb: Array, tverts: Array,
             jax.ShapeDtypeStruct(shape2, jnp.int32),
         ],
     )
+
+    def run_chunk(ci, t, idx):
+        base = (ci * ct)[None]
+        m = jax.lax.dynamic_slice(meta, (0, ci * cn), (5, cn))
+        a = jax.lax.dynamic_slice(aabb, (0, ci * cn), (6, cn))
+        tv = jax.lax.dynamic_slice(tverts, (0, ci * ct), (12, ct))
+        return call(base, m, a, tv, *comps, t, idx)
+
     for c in range(n_chunks):
-        base = jnp.asarray([c * ct], jnp.int32)
-        t, idx = call(base,
-                      jax.lax.slice(meta, (0, c * cn), (5, (c + 1) * cn)),
-                      jax.lax.slice(aabb, (0, c * cn), (6, (c + 1) * cn)),
-                      jax.lax.slice(tverts, (0, c * ct), (12, (c + 1) * ct)),
-                      *comps, t, idx)
+        ci = perm[c]
+        t, idx = jax.lax.cond(
+            chunk_live[ci],
+            lambda args: run_chunk(*args),
+            lambda args: (args[1], args[2]),
+            (ci, t, idx))
 
     return t.reshape(n_pad)[:n], idx.reshape(n_pad)[:n]
 
 
-@partial(jax.custom_jvp, nondiff_argnums=(6, 7, 8, 9))
+@partial(jax.custom_jvp, nondiff_argnums=(6, 7, 8, 9, 10))
 def _trace_chunked_cj(meta, aabb, tverts, orig, d, t_max,
-                      chunk_nodes, chunk_tris, any_hit, common_origin):
+                      chunk_nodes, chunk_tris, any_hit, common_origin,
+                      rows=PACKET_ROWS):
     return _trace_chunked_impl(meta, aabb, tverts, orig, d, t_max,
                                chunk_nodes, chunk_tris,
-                               any_hit=any_hit, common_origin=common_origin)
+                               any_hit=any_hit, common_origin=common_origin,
+                               rows=rows)
 
 
 @_trace_chunked_cj.defjvp
 def _trace_chunked_jvp(chunk_nodes, chunk_tris, any_hit, common_origin,
-                       primals, tangents):
+                       rows, primals, tangents):
     """Zero tangents: topology-only output (see trace_pallas counterpart)."""
     del tangents
     t, idx = _trace_chunked_cj(*primals, chunk_nodes, chunk_tris, any_hit,
-                               common_origin)
+                               common_origin, rows)
     return (t, idx), (jnp.zeros_like(t),
                       np.zeros(idx.shape, jax.dtypes.float0))
 
@@ -339,12 +405,13 @@ def trace_packed_forest(meta: Array, aabb: Array, tverts: Array,
                         orig: Array, d: Array, t_max: Array,
                         chunk_nodes: int, chunk_tris: int,
                         any_hit: bool = False,
-                        common_origin: bool = False) -> tuple[Array, Array]:
+                        common_origin: bool = False,
+                        rows: int = PACKET_ROWS) -> tuple[Array, Array]:
     """Trace against pre-packed forest tables (public entry for callers that
     cache pack_forest output themselves, e.g. bench.py)."""
     return _trace_chunked_cj(meta, aabb, tverts, orig, d, t_max,
                              int(chunk_nodes), int(chunk_tris),
-                             bool(any_hit), bool(common_origin))
+                             bool(any_hit), bool(common_origin), int(rows))
 
 
 # Host-side pack cache for EAGER callers (inside jit, pack_forest is traced
@@ -370,7 +437,8 @@ def _pack_forest_cached(bvh: BVHSoA, tri: TriangleSoA):
 
 def trace_chunked(bvh: BVHSoA, tri: TriangleSoA, orig: Array, d: Array,
                   t_max: Array | float = INF, any_hit: bool = False,
-                  common_origin: bool = False) -> tuple[Array, Array]:
+                  common_origin: bool = False,
+                  rows: int = PACKET_ROWS) -> tuple[Array, Array]:
     """Drop-in replacement for integrator.intersect.trace on chunked
     forests. Same output contract as trace_pallas.trace_pallas."""
     meta, aabb, tverts = _pack_forest_cached(bvh, tri)
@@ -378,4 +446,4 @@ def trace_chunked(bvh: BVHSoA, tri: TriangleSoA, orig: Array, d: Array,
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     return _trace_chunked_cj(meta, aabb, tverts, orig, d, t_max,
                              bvh.chunk_nodes, bvh.chunk_tris,
-                             bool(any_hit), bool(common_origin))
+                             bool(any_hit), bool(common_origin), int(rows))

@@ -413,7 +413,8 @@ def pack_scene(bvh: BVHSoA, tri: TriangleSoA) -> tuple[Array, Array, Array]:
 
 def trace_pallas(bvh: BVHSoA, tri: TriangleSoA, orig: Array, d: Array,
                  t_max: Array | float = INF, any_hit: bool = False,
-                 common_origin: bool = False) -> tuple[Array, Array]:
+                 common_origin: bool = False,
+                 rows: int = PACKET_ROWS) -> tuple[Array, Array]:
     """Drop-in replacement for tpuray.integrator.intersect.trace.
 
     common_origin: caller asserts every ray shares one origin (camera
@@ -427,4 +428,4 @@ def trace_pallas(bvh: BVHSoA, tri: TriangleSoA, orig: Array, d: Array,
     n = orig.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     return trace_packets(meta, aabb, tverts, orig, d, t_max, any_hit,
-                         common_origin=common_origin)
+                         common_origin=common_origin, rows=rows)
