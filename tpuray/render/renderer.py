@@ -30,6 +30,7 @@ class FrameOutputs(NamedTuple):
     svgf: SVGFOutput
     gbuffer: GBuffer
     final: Array          # (H, W, 3) TAA output (linear)
+    coverage: Array       # () fraction of primary rays that hit geometry
 
 
 def tonemap(c: Array, limit: float = 1.5, gamma: float = 2.2) -> Array:
@@ -117,7 +118,9 @@ def render_frame(scene: Scene, camera: Camera, state: FrameState,
             prev_view_proj=camera.view_proj)
 
     outputs = FrameOutputs(pt_color=pt_color, accum_color=accum, svgf=svgf,
-                           gbuffer=gbuf, final=final)
+                           gbuffer=gbuf, final=final,
+                           coverage=jnp.mean(
+                               pt.first_hit_valid.astype(jnp.float32)))
     return new_state, outputs
 
 
@@ -139,23 +142,39 @@ def select_debug_view(outputs: FrameOutputs, view: DebugView) -> Array:
 class Renderer:
     """Host-side convenience wrapper: owns Scene/config/state, drives frames."""
 
+    _BUCKETS = (0.125, 0.25, 0.5)
+
     def __init__(self, scene: Scene, cfg: RenderConfig):
         self.scene = scene
         self.cfg = cfg
         self.state = FrameState.initial(cfg.height, cfg.width)
         self.last_outputs: FrameOutputs | None = None
+        self._frame_cfg = cfg  # cfg actually compiled (auto compact bucket)
 
     def reset(self) -> None:
         self.state = self.state.reset_accumulation()
+
+    def _tune_compaction(self, out: FrameOutputs) -> None:
+        """Pick the next frame's compact budget bucket from this frame's
+        hit coverage (see RenderConfig.compact_auto). The residual pass
+        keeps overflow frames exact, so a stale bucket costs speed only."""
+        cov = float(out.coverage)
+        want = cov * 1.3
+        bucket = next((b for b in self._BUCKETS if b >= want), 0.0)
+        if bucket != self._frame_cfg.compact_frac:
+            self._frame_cfg = self.cfg.replace(compact_frac=bucket)
 
     def step(self, camera: Camera) -> FrameOutputs:
         static = bool(np.allclose(np.asarray(camera.view_proj),
                                   np.asarray(self.state.prev_view_proj))
                       and int(self.state.frame_idx) > 0)
+        cfg = self._frame_cfg if self.cfg.compact_auto else self.cfg
         self.state, out = render_frame(
-            self.scene, camera, self.state, self.cfg,
+            self.scene, camera, self.state, cfg,
             self.cfg.height, self.cfg.width, static_camera=static)
         self.last_outputs = out
+        if self.cfg.compact_auto:
+            self._tune_compaction(out)
         return out
 
     def render(self, camera: Camera, n_frames: int = 1) -> FrameOutputs:

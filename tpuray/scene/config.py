@@ -101,6 +101,16 @@ class RenderConfig:
     # keyed on lane position).
     compact_frac: float = 0.5
 
+    # Renderer-level auto-tuning of compact_frac: after each frame the
+    # Renderer reads the frame's hit coverage (one scalar) and picks the
+    # smallest budget bucket from {1/8, 1/4, 1/2} with ~30% headroom for
+    # the NEXT frame (the reference clock scene covers only ~8% of the
+    # 800x800 frame at the startup pose — a fixed 0.5 budget wastes most
+    # of the compaction win). Each bucket is a separate XLA compilation
+    # (cached); the residual pass keeps overflow frames exact while the
+    # bucket catches up.
+    compact_auto: bool = True
+
     # output
     tonemap_limit: float = 1.5          # output_pass.frag:13
     gamma: float = 2.2
