@@ -174,9 +174,14 @@ def main() -> None:
         t_prim = state["out"][0]
         p_inc, d_inc = incoherent_inputs(o, d, t_prim)
 
+        from tpuray.integrator.path_tracer import BATCH_K_INCOHERENT
+
         def run_inc():
+            # the integrator's secondary-ray policy: batched-K expansion
+            # (path_tracer.trace; docs/perf.md)
             state["inc"] = tp.trace_packets(meta, aabb, tverts,
-                                            p_inc, d_inc, tm)
+                                            p_inc, d_inc, tm,
+                                            batch_k=BATCH_K_INCOHERENT)
 
         def sync_inc():
             np.asarray(state["inc"][0][:1])

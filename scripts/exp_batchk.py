@@ -262,21 +262,20 @@ def main():
     t_ref, i_ref = tp.trace_packets(meta, aabb, tverts, p, d_inc, tm)
     t_ref = np.asarray(t_ref)
 
-    for rows in (128, 256):
-        for K in (4, 8):
-            fc = lambda: trace_bk(meta, aabb, tverts, o, d, tm,
-                                  common_origin=True, rows=rows, K=K)
-            fi = lambda: trace_bk(meta, aabb, tverts, p, d_inc, tm,
-                                  rows=rows, K=K)
-            tC, tI = timed(fc), timed(fi)
-            ti, ii = fi()
-            ok = bool(np.allclose(np.asarray(ti), t_ref, rtol=1e-6, atol=1e-6))
-            print(json.dumps({"rows": rows, "K": K,
-                              "coherent_ms": round(tC, 2),
-                              "incoherent_ms": round(tI, 2),
-                              "coh_mrays": round(n / tC / 1e3, 1),
-                              "inc_mrays": round(n / tI / 1e3, 1),
-                              "match": ok}), flush=True)
+    import sys
+    combos = [(32, 4), (32, 8)]
+    if len(sys.argv) > 2:
+        combos = [(int(sys.argv[1]), int(sys.argv[2]))]
+    for rows, K in combos:
+        fi = lambda: trace_bk(meta, aabb, tverts, p, d_inc, tm,
+                              rows=rows, K=K)
+        tI = timed(fi)
+        ti, ii = fi()
+        ok = bool(np.allclose(np.asarray(ti), t_ref, rtol=1e-6, atol=1e-6))
+        print(json.dumps({"rows": rows, "K": K,
+                          "incoherent_ms": round(tI, 2),
+                          "inc_mrays": round(n / tI / 1e3, 1),
+                          "match": ok}), flush=True)
 
 
 if __name__ == "__main__":

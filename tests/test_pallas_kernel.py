@@ -142,3 +142,29 @@ def test_grad_through_pallas_trace_is_zero_tangent(interp_trace, scene, rng):
     mask = (np.asarray(idx) >= 0).astype(np.float32)
     np.testing.assert_allclose(np.asarray(g)[:, 0], mask)
     np.testing.assert_allclose(np.asarray(g)[:, 1:], 0.0)
+
+
+def test_batched_k_matches_xla(interp_trace, scene, rng):
+    """Batched-K expansion (the incoherent-ray variant, batch_k=8) must be
+    decision-equivalent to the strict DFS: same hits as the XLA oracle."""
+    o, d = make_rays(rng, 2048)
+    t_ref, i_ref = trace_xla(scene.bvh, scene.triangles, o, d)
+    t_pk, i_pk = interp_trace.trace_pallas(scene.bvh, scene.triangles, o, d,
+                                           batch_k=8)
+    np.testing.assert_array_equal(np.asarray(i_pk), np.asarray(i_ref))
+    m = np.asarray(i_ref) >= 0
+    np.testing.assert_allclose(np.asarray(t_pk)[m], np.asarray(t_ref)[m],
+                               rtol=1e-4)
+
+
+def test_batched_k_any_hit_and_dead_lanes(interp_trace, scene, rng):
+    o, d = make_rays(rng, 1024)
+    t_ref, i_ref = trace_xla(scene.bvh, scene.triangles, o, d)
+    tm = jnp.where(jnp.arange(1024) % 4 == 0, 0.0, 1e30).astype(jnp.float32)
+    _, ia = interp_trace.trace_pallas(scene.bvh, scene.triangles, o, d,
+                                      t_max=tm, any_hit=True, batch_k=8)
+    dead = np.arange(1024) % 4 == 0
+    hit = np.asarray(i_ref) >= 0
+    assert (np.asarray(ia)[dead] == -1).all()
+    assert (np.asarray(ia)[~dead & hit] >= 0).all()
+    assert (np.asarray(ia)[~dead & ~hit] == -1).all()

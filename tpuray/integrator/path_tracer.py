@@ -59,16 +59,23 @@ def _use_pallas() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-# Packet geometry per ray class (rows of 128 lanes per packet). The kernel
-# pays a fixed ~10.5us per grid step before any traversal work
-# (scripts/exp_overhead.py), so ray classes that walk little of the tree
-# per packet want MANY rays per step; tuned on v5e (scripts/exp_rows_one.py).
-ROWS_COHERENT = 32    # camera primaries: visits dominate less, 32 benched
-ROWS_INCOHERENT = 32  # secondary rays: tuned by exp_rows_one
+# Packet geometry / expansion policy per ray class, tuned on v5e
+# (scripts/exp_rows_one.py, exp_batchk.py, docs/perf.md):
+#  - 32 rows for BOTH classes: bigger packets grow the incoherent visit
+#    union faster than they amortize the ~10.5us fixed per-step cost
+#    (rows=128 measured 2x SLOWER on random rays);
+#  - batched-K expansion only for incoherent rays: overlaps the per-visit
+#    vector->scalar any() stalls (14.7 -> 10.2 ms on 640k random rays);
+#    coherent frontiers are usually smaller than K, so clamp-padding would
+#    waste VPU instead.
+ROWS_COHERENT = 32
+ROWS_INCOHERENT = 32
+BATCH_K_INCOHERENT = 8
 
 
 def trace(bvh, tri, orig, d, t_max=INF, any_hit=False, common_origin=False):
     rows = ROWS_COHERENT if common_origin else ROWS_INCOHERENT
+    batch_k = 0 if common_origin else BATCH_K_INCOHERENT
     if _use_pallas():
         if bvh.chunk_nodes:
             # chunked forest (scene/partition.py): the single-tree packet
@@ -88,7 +95,7 @@ def trace(bvh, tri, orig, d, t_max=INF, any_hit=False, common_origin=False):
                 return trace_pallas(bvh, tri, orig, d, t_max=t_max,
                                     any_hit=any_hit,
                                     common_origin=common_origin,
-                                    rows=rows)
+                                    rows=rows, batch_k=batch_k)
         # chunk/scene tables exceed the SMEM budget: fall back to the XLA
         # wavefront (correct for any size, slower) rather than failing
     return trace_xla(bvh, tri, orig, d, t_max=t_max, any_hit=any_hit)

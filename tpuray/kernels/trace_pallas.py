@@ -49,6 +49,158 @@ MAX_STACK = 128  # >= 2 * max tree depth; asserted at pack time
 MAX_LEAF = 8     # builder leaf size (accel/bvh.py); asserted at pack time
 
 
+def _kernel_batched(meta_ref, aabb_ref, tverts_ref,
+                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+                    t_out, idx_out, t_scr, idx_scr, stack_ref,
+                    *, n_nodes: int, any_hit: bool, common_origin: bool,
+                    rows: int, batch_k: int):
+    """Batched-K DFS expansion for INCOHERENT packets.
+
+    The strict DFS (_kernel below) pays a serialized vector->scalar stall
+    per node: each expand's any() reductions must reach the scalar core
+    before the next pop (measured ~330ns per visit of which VPU work is a
+    fraction — scripts/exp_traversal_counts.py + exp_batchk.py). Incoherent
+    packets visit ~290 nodes (the near-whole-tree union of 4096 random
+    rays), so this variant pops up to batch_k stack nodes per iteration and
+    issues all 2K child slab tests and any() reductions BEFORE any scalar
+    consumption, overlapping the readback latencies (14.7 -> 10.2 ms on
+    640k fully-random rays, K=8, v5e). Coherent packets keep the strict
+    DFS: their frontier is usually smaller than K, and clamp-padded
+    re-expansions of the same node would waste more VPU than the
+    latency overlap buys.
+
+    Decision-equivalent to _kernel (t_lim folds the per-test t/tmax/hit
+    compares; batch-stale entry limits only ADMIT extra nodes, never drop
+    one), so outputs match the XLA oracle exactly.
+    """
+    if common_origin:
+        ox, oy, oz = ox_ref[0, 0], oy_ref[0, 0], oz_ref[0, 0]
+    else:
+        ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
+    dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
+    tmax_in = tmax_ref[...]
+    dead = tmax_in <= 0.0
+    tmax = jnp.where(dead, -INF, tmax_in)
+
+    def safe_inv(v):
+        tiny = jnp.where(v < 0, np.float32(-1e-20), np.float32(1e-20))
+        return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
+
+    inv_dx, inv_dy, inv_dz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    sx, sy, sz = jnp.sum(dx), jnp.sum(dy), jnp.sum(dz)
+
+    def slab(node, t_limit):
+        f0 = (aabb_ref[3, node] - ox) * inv_dx
+        n0 = (aabb_ref[0, node] - ox) * inv_dx
+        f1 = (aabb_ref[4, node] - oy) * inv_dy
+        n1 = (aabb_ref[1, node] - oy) * inv_dy
+        f2 = (aabb_ref[5, node] - oz) * inv_dz
+        n2 = (aabb_ref[2, node] - oz) * inv_dz
+        t1 = jnp.minimum(jnp.maximum(f0, n0),
+                         jnp.minimum(jnp.maximum(f1, n1), jnp.maximum(f2, n2)))
+        t0 = jnp.maximum(jnp.minimum(f0, n0),
+                         jnp.maximum(jnp.minimum(f1, n1), jnp.minimum(f2, n2)))
+        return (t1 >= jnp.maximum(t0, 0.0)) & (t0 < t_limit) & (t1 > 0.0)
+
+    def visit(hit, entered, count, first):
+        @pl.when(entered & (count > 0))
+        def _():
+            t = t_scr[...]
+            idx = idx_scr[...]
+            t_lim = jnp.where(hit, jnp.minimum(t, tmax), -INF)
+            for j in range(MAX_LEAF):
+                ti = first + jnp.minimum(jnp.int32(j), count - 1)
+                nx = tverts_ref[0, ti]
+                ny = tverts_ref[1, ti]
+                nz = tverts_ref[2, ti]
+                np0 = tverts_ref[3, ti]
+                ndotd = nx * dx + ny * dy + nz * dz
+                ndoto = nx * ox + ny * oy + nz * oz
+                invalid = jnp.abs(ndotd) < PARALLEL_EPS
+                denom = jnp.where(invalid, np.float32(1.0), ndotd)
+                t_hit = (np0 - ndoto) / denom
+                px = ox + dx * t_hit
+                py = oy + dy * t_hit
+                pz = oz + dz * t_hit
+                u = (tverts_ref[4, ti] * px + tverts_ref[5, ti] * py
+                     + tverts_ref[6, ti] * pz + tverts_ref[7, ti])
+                v = (tverts_ref[8, ti] * px + tverts_ref[9, ti] * py
+                     + tverts_ref[10, ti] * pz + tverts_ref[11, ti])
+                in_tri = (u > 0) & (v > 0) & (u + v < 1)
+                ok = (jnp.logical_not(invalid) & (t_hit >= T_MIN) & in_tri
+                      & (j < count) & (t_hit < t_lim))
+                t = jnp.where(ok, t_hit, t)
+                idx = jnp.where(ok, ti, idx)
+                t_lim = jnp.minimum(t_lim, t)
+            t_scr[...] = t
+            idx_scr[...] = idx
+
+    def body(sp):
+        k = jnp.minimum(sp, batch_k)
+        # vector phase: all 2K child slab tests + any() reductions issued
+        # with NO scalar consumption in between
+        limit = jnp.minimum(t_scr[...], tmax)
+        if any_hit:
+            limit = jnp.where(idx_scr[...] < 0, limit, -INF)
+        infos = []
+        for i in range(batch_k):
+            node = stack_ref[jnp.maximum(sp - 1 - i, 0)]
+            left = node + 1
+            right = meta_ref[2, node]
+            hit_l = slab(left, limit)
+            hit_r = slab(right, limit)
+            infos.append((node, left, right, hit_l, hit_r,
+                          jnp.any(hit_l), jnp.any(hit_r)))
+        sp_new = sp - k
+        # scalar/leaf phase: consume flags (their latencies overlapped)
+        for i in range(batch_k):
+            node, left, right, hit_l, hit_r, ent_l, ent_r = infos[i]
+            valid_i = i < sp
+            ent_l = ent_l & valid_i
+            ent_r = ent_r & valid_i
+            count_l = meta_ref[1, left]
+            count_r = meta_ref[1, right]
+            visit(hit_l, ent_l, count_l, meta_ref[0, left])
+            visit(hit_r, ent_r, count_r, meta_ref[0, right])
+            axis = meta_ref[3, node]
+            left_low = meta_ref[4, node]
+            dpos = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz)) > 0
+            near_is_left = dpos == (left_low == 1)
+            push_l = ent_l & (count_l == 0)
+            push_r = ent_r & (count_r == 0)
+            far_node = jnp.where(near_is_left, right, left)
+            near_node = jnp.where(near_is_left, left, right)
+            push_far = jnp.where(near_is_left, push_r, push_l)
+            push_near = jnp.where(near_is_left, push_l, push_r)
+
+            @pl.when(push_far)
+            def _():
+                stack_ref[sp_new] = far_node
+
+            sp_new = sp_new + push_far.astype(jnp.int32)
+
+            @pl.when(push_near)
+            def _():
+                stack_ref[sp_new] = near_node
+
+            sp_new = sp_new + push_near.astype(jnp.int32)
+        if any_hit:
+            sp_new = jnp.where(jnp.all((idx_scr[...] >= 0) | dead), 0, sp_new)
+        return sp_new
+
+    t_scr[...] = jnp.full((rows, PACKET_LANES), INF, jnp.float32)
+    idx_scr[...] = jnp.full((rows, PACKET_LANES), -1, jnp.int32)
+    root_hit = slab(0, tmax)
+    root_entered = jnp.any(root_hit)
+    root_count = meta_ref[1, 0]
+    visit(root_hit, root_entered, root_count, meta_ref[0, 0])
+    stack_ref[0] = jnp.int32(0)
+    sp0 = jnp.where(root_entered & (root_count == 0), 1, 0).astype(jnp.int32)
+    jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
+    t_out[...] = t_scr[...]
+    idx_out[...] = idx_scr[...]
+
+
 def _kernel(meta_ref, aabb_ref, tverts_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
             t_out, idx_out, t_scr, idx_scr, stack_ref,
@@ -236,12 +388,14 @@ def scene_fits_smem(n_nodes: int, n_tris: int) -> bool:
     return smem_bytes < 900_000
 
 
-@partial(jax.jit, static_argnames=("any_hit", "common_origin", "rows"))
+@partial(jax.jit, static_argnames=("any_hit", "common_origin", "rows",
+                                   "batch_k"))
 def _trace_packets_impl(meta: Array, aabb: Array, tverts: Array,
                         orig: Array, d: Array, t_max: Array,
                         any_hit: bool = False,
                         common_origin: bool = False,
-                        rows: int = PACKET_ROWS) -> tuple[Array, Array]:
+                        rows: int = PACKET_ROWS,
+                        batch_k: int = 0) -> tuple[Array, Array]:
     """Packet traversal over N rays (padded to a multiple of PACKET).
 
     meta: (5, n_nodes) int32 [first_tri; tri_count; right_child; axis; left_low]
@@ -297,8 +451,14 @@ def _trace_packets_impl(meta: Array, aabb: Array, tverts: Array,
                      memory_space=pltpu.SMEM),
     ]
 
-    kernel = functools.partial(_kernel, n_nodes=n_nodes, any_hit=any_hit,
-                               common_origin=common_origin, rows=rows)
+    if batch_k > 0:
+        kernel = functools.partial(_kernel_batched, n_nodes=n_nodes,
+                                   any_hit=any_hit,
+                                   common_origin=common_origin, rows=rows,
+                                   batch_k=batch_k)
+    else:
+        kernel = functools.partial(_kernel, n_nodes=n_nodes, any_hit=any_hit,
+                                   common_origin=common_origin, rows=rows)
     t, idx = pl.pallas_call(
         kernel,
         grid=(n_packets,),
@@ -323,16 +483,17 @@ def _trace_packets_impl(meta: Array, aabb: Array, tverts: Array,
     return t.reshape(n_pad)[:n], idx.reshape(n_pad)[:n]
 
 
-@partial(jax.custom_jvp, nondiff_argnums=(6, 7, 8))
+@partial(jax.custom_jvp, nondiff_argnums=(6, 7, 8, 9))
 def _trace_packets_cj(meta, aabb, tverts, orig, d, t_max,
-                      any_hit, common_origin, rows):
+                      any_hit, common_origin, rows, batch_k):
     return _trace_packets_impl(meta, aabb, tverts, orig, d, t_max,
                                any_hit=any_hit, common_origin=common_origin,
-                               rows=rows)
+                               rows=rows, batch_k=batch_k)
 
 
 @_trace_packets_cj.defjvp
-def _trace_packets_jvp(any_hit, common_origin, rows, primals, tangents):
+def _trace_packets_jvp(any_hit, common_origin, rows, batch_k, primals,
+                       tangents):
     """Traversal is topology-only by design (module docstring): the
     integrator re-derives everything differentiable from (t, idx) via
     resolve_hit and stop-gradients t. pallas_call has no JVP rule, so an
@@ -340,7 +501,8 @@ def _trace_packets_jvp(any_hit, common_origin, rows, primals, tangents):
     rendered frame) would fail without this: declare zero tangents here and
     let gradients flow through the shading re-derivation instead."""
     del tangents
-    t, idx = _trace_packets_cj(*primals, any_hit, common_origin, rows)
+    t, idx = _trace_packets_cj(*primals, any_hit, common_origin, rows,
+                               batch_k)
     return (t, idx), (jnp.zeros_like(t),
                       np.zeros(idx.shape, jax.dtypes.float0))
 
@@ -349,10 +511,12 @@ def trace_packets(meta: Array, aabb: Array, tverts: Array,
                   orig: Array, d: Array, t_max: Array,
                   any_hit: bool = False,
                   common_origin: bool = False,
-                  rows: int = PACKET_ROWS) -> tuple[Array, Array]:
+                  rows: int = PACKET_ROWS,
+                  batch_k: int = 0) -> tuple[Array, Array]:
     """See _trace_packets_impl; this wrapper adds the zero-tangent JVP."""
     return _trace_packets_cj(meta, aabb, tverts, orig, d, t_max,
-                             bool(any_hit), bool(common_origin), int(rows))
+                             bool(any_hit), bool(common_origin), int(rows),
+                             int(batch_k))
 
 
 # ---------------------------------------------------------------------------
@@ -414,7 +578,8 @@ def pack_scene(bvh: BVHSoA, tri: TriangleSoA) -> tuple[Array, Array, Array]:
 def trace_pallas(bvh: BVHSoA, tri: TriangleSoA, orig: Array, d: Array,
                  t_max: Array | float = INF, any_hit: bool = False,
                  common_origin: bool = False,
-                 rows: int = PACKET_ROWS) -> tuple[Array, Array]:
+                 rows: int = PACKET_ROWS,
+                 batch_k: int = 0) -> tuple[Array, Array]:
     """Drop-in replacement for tpuray.integrator.intersect.trace.
 
     common_origin: caller asserts every ray shares one origin (camera
@@ -428,4 +593,5 @@ def trace_pallas(bvh: BVHSoA, tri: TriangleSoA, orig: Array, d: Array,
     n = orig.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     return trace_packets(meta, aabb, tverts, orig, d, t_max, any_hit,
-                         common_origin=common_origin, rows=rows)
+                         common_origin=common_origin, rows=rows,
+                         batch_k=batch_k)
