@@ -41,7 +41,8 @@ def main():
     scene = reference_default_scene()
     cfg = RenderConfig(width=size, height=size)
     if compact is not None:
-        cfg = cfg.replace(compact_frac=compact)
+        # explicit budget: pin it (auto-tuning would override per frame)
+        cfg = cfg.replace(compact_frac=compact, compact_auto=False)
     cam = OrbitCamera(width=size, height=size)
     r = Renderer(scene, cfg)
 

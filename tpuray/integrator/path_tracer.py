@@ -512,35 +512,44 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
         sel = jnp.nonzero(in_sel, size=budget, fill_value=0)[0]
         lane_ok = (jnp.arange(budget) < n_alive)
 
+        # ONE fused gather per dtype: TPU gathers/scatters are row-latency
+        # bound, so 7 narrow gathers cost ~7x one wide one
+        gf = jnp.concatenate([orig, d, t0_full[:, None]], axis=1)[sel]
+        gi = jnp.stack([px.astype(jnp.int32), py.astype(jnp.int32),
+                        idx0_full], axis=1)[sel]
+        c_d = gf[:, 3:6]
         c = _shade_loop(
-            scene, pk, cfg, orig[sel], d[sel], px[sel], py[sel], frame,
-            jnp.where(lane_ok, t0_full[sel], INF),
-            jnp.where(lane_ok, idx0_full[sel], -1),
+            scene, pk, cfg, gf[:, 0:3], c_d,
+            gi[:, 0].astype(jnp.uint32), gi[:, 1].astype(jnp.uint32), frame,
+            jnp.where(lane_ok, gf[:, 6], INF),
+            jnp.where(lane_ok, gi[:, 2], -1),
             coherent=False)
 
-        def scat(full_init, comp, mask1):
-            m = mask1 if comp.ndim == 1 else mask1[..., None]
-            return full_init.at[sel].add(jnp.where(m, comp, 0))
-
-        z3 = jnp.zeros((n, 3), jnp.float32)
-        light = scat(z3, c.light, lane_ok)
-        emission0 = scat(z3, c.emission0, lane_ok)
-        albedo0 = scat(z3, c.albedo0, lane_ok)
-        point0 = scat(z3, c.point0, lane_ok)
-        normal0 = scat(z3, c.normal0, lane_ok)
-        valid0 = jnp.zeros((n,), bool).at[sel].max(c.valid0 & lane_ok)
-        # miss bookkeeping: compacted lanes that escaped at a later bounce,
-        # plus every primary-miss lane (never selected). Base the direction
-        # field on d (unit vectors) rather than zeros: lanes that never miss
-        # still flow through the env fetch, and a zero direction would NaN
-        # its normalization (poisoning the backward pass even under where).
-        miss_any = jnp.zeros((n,), bool).at[sel].max(c.miss_any & lane_ok)
-        miss_dir = d.at[sel].add(
-            jnp.where(lane_ok[..., None], c.miss_dir - d[sel], 0))
-        miss_red = z3.at[sel].add(
-            jnp.where((c.miss_any & lane_ok)[..., None], c.miss_reduction, 0))
-        miss_any = miss_any | ~alive0
+        # ONE fused scatter of every per-lane output (7x3 f32 + 2 flags).
+        # miss_dir is scattered as a delta on top of d so lanes that never
+        # miss keep a unit direction — a zero direction would NaN the env
+        # fetch's normalization (poisoning the backward pass even under
+        # where). miss bookkeeping covers compacted lanes that escaped at a
+        # later bounce plus every primary-miss lane (never selected).
+        packed = jnp.concatenate([
+            c.light, c.emission0, c.albedo0, c.point0, c.normal0,
+            c.miss_dir - c_d,
+            jnp.where(c.miss_any[..., None], c.miss_reduction, 0.0),
+            c.valid0[..., None].astype(jnp.float32),
+            c.miss_any[..., None].astype(jnp.float32)], axis=1)
+        scattered = jnp.zeros((n, 23), jnp.float32).at[sel].add(
+            jnp.where(lane_ok[..., None], packed, 0.0))
+        light = scattered[:, 0:3]
+        emission0 = scattered[:, 3:6]
+        albedo0 = scattered[:, 6:9]
+        point0 = scattered[:, 9:12]
+        normal0 = scattered[:, 12:15]
+        miss_dir = d + scattered[:, 15:18]
+        miss_red = scattered[:, 18:21]
+        valid0 = scattered[:, 21] > 0.5
+        miss_any = (scattered[:, 22] > 0.5) | ~alive0
         miss_red = jnp.where((~alive0)[..., None], 1.0, miss_red)
+        z3 = jnp.zeros((n, 3), jnp.float32)
 
         # residual pass: only if more lanes survived than the budget (rare
         # with a sane compact_frac; exact either way). Runs the full-width

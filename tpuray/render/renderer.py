@@ -143,6 +143,9 @@ class Renderer:
     """Host-side convenience wrapper: owns Scene/config/state, drives frames."""
 
     _BUCKETS = (0.125, 0.25, 0.5)
+    _TUNE_EVERY = 8  # frames between coverage reads (each read is a host
+    #                  round-trip; reading every frame serializes dispatch
+    #                  over the remote-TPU tunnel and dominated frame time)
 
     def __init__(self, scene: Scene, cfg: RenderConfig):
         self.scene = scene
@@ -150,19 +153,28 @@ class Renderer:
         self.state = FrameState.initial(cfg.height, cfg.width)
         self.last_outputs: FrameOutputs | None = None
         self._frame_cfg = cfg  # cfg actually compiled (auto compact bucket)
+        self._steps = 0
+        self._pending_cov = None  # device scalar from an earlier frame
 
     def reset(self) -> None:
         self.state = self.state.reset_accumulation()
 
     def _tune_compaction(self, out: FrameOutputs) -> None:
-        """Pick the next frame's compact budget bucket from this frame's
-        hit coverage (see RenderConfig.compact_auto). The residual pass
+        """Pick the compact budget bucket from a PAST frame's hit coverage
+        (see RenderConfig.compact_auto). Reads the device scalar only every
+        _TUNE_EVERY frames, one tuning period late, so the async dispatch
+        pipeline never blocks on the host round-trip. The residual pass
         keeps overflow frames exact, so a stale bucket costs speed only."""
-        cov = float(out.coverage)
-        want = cov * 1.3
-        bucket = next((b for b in self._BUCKETS if b >= want), 0.0)
-        if bucket != self._frame_cfg.compact_frac:
-            self._frame_cfg = self.cfg.replace(compact_frac=bucket)
+        self._steps += 1
+        if self._steps % self._TUNE_EVERY != 0:
+            return
+        if self._pending_cov is not None:
+            cov = float(self._pending_cov)  # computed a period ago: no stall
+            want = cov * 1.3
+            bucket = next((b for b in self._BUCKETS if b >= want), 0.0)
+            if bucket != self._frame_cfg.compact_frac:
+                self._frame_cfg = self.cfg.replace(compact_frac=bucket)
+        self._pending_cov = out.coverage
 
     def step(self, camera: Camera) -> FrameOutputs:
         static = bool(np.allclose(np.asarray(camera.view_proj),
