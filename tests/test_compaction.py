@@ -54,9 +54,9 @@ def test_budget_rounding():
     assert _compact_budget(4096, cfg) == 2048
     assert _compact_budget(640000, cfg) % 512 == 0
     assert _compact_budget(4096, RenderConfig(compact_frac=0.0)) == 0
-    # tile-coherent mode keys randoms on lane position: compaction disabled
+    # tile-coherent mode is pixel-keyed (round 4): composes with compaction
     assert _compact_budget(
-        4096, RenderConfig(compact_frac=0.5, tile_coherent_sampling=True)) == 0
+        4096, RenderConfig(compact_frac=0.5, tile_coherent_sampling=True)) == 2048
     # budget >= n degenerates to the plain loop
     assert _compact_budget(300, cfg) == 0
 

@@ -334,21 +334,23 @@ def _shade_loop(scene: Scene, pk: PackedScene, cfg: RenderConfig,
     _, seed = rng.rand(seed)
     _, seed = rng.rand(seed)
 
-    from tpuray.kernels.trace_pallas import PACKET as _BLOCK
     if coherent:
-        # per-tile secondary-ray randoms (see RenderConfig): one stream per
-        # 1024-ray packet, values broadcast across the tile
-        n_tiles = n // _BLOCK
-        tid = jnp.arange(n_tiles, dtype=jnp.uint32)
-        tseed = rng.pixel_seed(tid, tid * jnp.uint32(7919), frame)
+        # per-PIXEL-TILE secondary-ray randoms (see RenderConfig): one
+        # stream per 32x32 SCREEN tile, keyed on (tile_x, tile_y, frame) —
+        # free of lane position, so it composes with bounce-boundary
+        # compaction and image sharding. All rays of a screen tile draw
+        # identical secondary randoms, which keeps each packet's
+        # shadow/bounce rays direction-coherent for the traversal kernel.
+        # The +0x8000 salt keeps tile streams disjoint from the per-pixel
+        # streams of the pixels at the tile coordinates.
+        tpx = px // jnp.uint32(32) + jnp.uint32(0x8000)
+        tpy = py // jnp.uint32(32) + jnp.uint32(0x8000)
+        tseed = rng.pixel_seed(tpx, tpy, frame)
 
         def tile_rand(ts):
-            u, ts = rng.rand(ts)
-            return jnp.repeat(u, _BLOCK), ts
+            return rng.rand(ts)
 
-        cpr_u, cpr_v = rng.cranley_patterson_offsets(tid, tid * jnp.uint32(31))
-        cpr_u = jnp.repeat(cpr_u, _BLOCK)
-        cpr_v = jnp.repeat(cpr_v, _BLOCK)
+        cpr_u, cpr_v = rng.cranley_patterson_offsets(tpx, tpy)
     else:
         cpr_u, cpr_v = rng.cranley_patterson_offsets(px, py)
 
@@ -413,20 +415,15 @@ def _shade_loop(scene: Scene, pk: PackedScene, cfg: RenderConfig,
         f_r, brdf_pdf = disney.evaluate_pdf_pre(pre, v, hit.normal, l_new,
                                                 hit.mat)
         if coherent:
-            # env NEE randoms stay per-tile (UNrepeated): the envmap
-            # cache/pdf/radiance gathers then run at n_tiles rows
-            er1_t, tseed = rng.rand(tseed)
-            er2_t, tseed = rng.rand(tseed)
+            er1, tseed = rng.rand(tseed)
+            er2, tseed = rng.rand(tseed)
             lu, tseed = tile_rand(tseed)
-            env_c, env_pdf_v = _env_nee(scene, pk, hit, v, er1_t, er2_t,
-                                        tile_repeat=_BLOCK, active=alive,
-                                        pre=pre)
         else:
             er1, seed = rng.rand(seed)
             er2, seed = rng.rand(seed)
             lu, seed = rng.rand(seed)
-            env_c, env_pdf_v = _env_nee(scene, pk, hit, v, er1, er2,
-                                        active=alive, pre=pre)
+        env_c, env_pdf_v = _env_nee(scene, pk, hit, v, er1, er2,
+                                    active=alive, pre=pre)
         pt_c, pt_pdf_v = _point_nee(scene, pk, hit, v, lu, active=alive,
                                     pre=pre)
         cos_term = jnp.abs(ndotl)[..., None]
@@ -456,7 +453,7 @@ def _compact_budget(n: int, cfg: RenderConfig) -> int:
     """Compacted-wavefront size: compact_frac * n rounded up to 512 lanes
     (the packet kernel pads its own input to PACKET internally, so the
     budget itself needs no PACKET alignment)."""
-    if cfg.compact_frac <= 0.0 or cfg.tile_coherent_sampling:
+    if cfg.compact_frac <= 0.0:
         return 0
     budget = (int(n * cfg.compact_frac) + 511) // 512 * 512
     if budget <= 0 or budget >= n:
@@ -491,7 +488,7 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
                                common_origin=common_origin)
     n = orig.shape[0]
     pk = pack_scene_tables(scene)  # wide-gather tables (cheap reshuffles)
-    coherent = (cfg.tile_coherent_sampling and n % 4096 == 0)
+    coherent = cfg.tile_coherent_sampling
 
     t0_full, idx0_full = trace(scene.bvh, scene.triangles, orig, d,
                                t_max=INF, common_origin=common_origin)

@@ -81,11 +81,13 @@ class RenderConfig:
     fast_reproject: bool = False
 
     # TPU throughput mode: draw the secondary-ray randoms (envmap sample,
-    # light pick, BSDF-lobe/CPR rotation) once per 32x32 ray tile instead of
-    # per pixel. Keeps each packet's shadow/bounce rays direction-coherent,
-    # which is what the packet traversal kernel needs; per-pixel noise
-    # becomes per-tile noise (still unbiased per pixel, refreshed per frame
-    # by the Sobol sequence). Off = reference per-pixel semantics.
+    # light pick, BSDF-lobe/CPR rotation) once per 32x32 SCREEN tile instead
+    # of per pixel, keyed on (tile_x, tile_y, frame) so it composes with
+    # bounce-boundary compaction and image sharding. Keeps each packet's
+    # shadow/bounce rays direction-coherent, which is what the packet
+    # traversal kernel needs; per-pixel noise becomes per-tile noise (still
+    # unbiased per pixel, refreshed per frame by the Sobol sequence).
+    # Off = reference per-pixel semantics.
     tile_coherent_sampling: bool = False
 
     # Bounce-boundary ray compaction (integrator/path_tracer.py): after the
@@ -97,8 +99,7 @@ class RenderConfig:
     # stream is keyed on (pixel, frame), not lane position. Frames where
     # more rays survive than the budget run a residual full-width pass for
     # the overflow lanes (lax.cond — only pays when it happens).
-    # 0 disables. Ignored under tile_coherent_sampling (tile randoms are
-    # keyed on lane position).
+    # 0 disables.
     compact_frac: float = 0.5
 
     # Renderer-level auto-tuning of compact_frac: after each frame the
