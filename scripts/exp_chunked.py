@@ -132,8 +132,11 @@ def main():
     print(json.dumps({"incoherent_ms": round(dt_i * 1e3, 2),
                       "mrays_s": round(n / dt_i / 1e6, 1)}), flush=True)
 
-    # XLA wavefront comparison timing (the old beyond-SMEM fallback);
-    # guarded: at large scenes this path is minutes-slow
+    # XLA wavefront comparison timing (the old beyond-SMEM fallback).
+    # DISABLED by default: at 131k tris this path crashes the TPU worker
+    # ("kernel fault") and wedges the tunnel; pass --xla to run it anyway.
+    if "--xla" not in sys.argv:
+        return
     try:
         nx = 65536
         def run_xla():
