@@ -358,9 +358,10 @@ def main() -> None:
                 return jnp.mean(out.pt_color)
 
             def loss_spec(s):
+                # drive specular directly (flagship materials ship it as 0,
+                # so scaling the existing value would be a vacuous check)
                 mats = scene.materials.replace(
-                    specular=jnp.clip(
-                        jnp.abs(scene.materials.specular) * s + 0.1, 0.0, 1.0))
+                    specular=jnp.full_like(scene.materials.specular, 0.5) * s)
                 _, out = render_frame(scene.replace(materials=mats), gcam,
                                       st0, cfg2, gh, gw)
                 return jnp.mean(out.pt_color)

@@ -49,8 +49,7 @@ MAX_STACK = 128  # >= 2 * max tree depth; asserted at pack time
 MAX_LEAF = 8     # builder leaf size (accel/bvh.py); asserted at pack time
 
 
-def _kernel_batched(meta_ref, aabb_ref, tverts_ref,
-                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+def _kernel_batched(meta_ref, aabb_ref, tverts_ref, rays_ref,
                     t_out, idx_out, t_scr, idx_scr, stack_ref,
                     *, n_nodes: int, any_hit: bool, common_origin: bool,
                     rows: int, batch_k: int):
@@ -73,12 +72,19 @@ def _kernel_batched(meta_ref, aabb_ref, tverts_ref,
     compares; batch-stale entry limits only ADMIT extra nodes, never drop
     one), so outputs match the XLA oracle exactly.
     """
+    # rays ride ONE packed VMEM block (rows, 7*128): component c in lanes
+    # [c*128, (c+1)*128) — 128-aligned static slices are free VMEM loads,
+    # and one block means one DMA descriptor per grid step instead of seven
     if common_origin:
-        ox, oy, oz = ox_ref[0, 0], oy_ref[0, 0], oz_ref[0, 0]
+        ox, oy, oz = rays_ref[0, 0], rays_ref[0, 128], rays_ref[0, 256]
     else:
-        ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
-    dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
-    tmax_in = tmax_ref[...]
+        ox = rays_ref[:, 0:128]
+        oy = rays_ref[:, 128:256]
+        oz = rays_ref[:, 256:384]
+    dx = rays_ref[:, 384:512]
+    dy = rays_ref[:, 512:640]
+    dz = rays_ref[:, 640:768]
+    tmax_in = rays_ref[:, 768:896]
     dead = tmax_in <= 0.0
     tmax = jnp.where(dead, -INF, tmax_in)
 
@@ -201,27 +207,31 @@ def _kernel_batched(meta_ref, aabb_ref, tverts_ref,
     idx_out[...] = idx_scr[...]
 
 
-def _kernel(meta_ref, aabb_ref, tverts_ref,
-            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+def _kernel(meta_ref, aabb_ref, tverts_ref, rays_ref,
             t_out, idx_out, t_scr, idx_scr, stack_ref,
             *, n_nodes: int, any_hit: bool, common_origin: bool,
             rows: int = PACKET_ROWS):
+    # packed rays block: see _kernel_batched prologue note
     if common_origin:
         # all rays share one origin (pinhole-camera primaries): hoist it to
         # the scalar core so the slab diffs and the triangle-plane offset
         # n.o become scalar ops — per-element float math is identical to
         # the vector path, so oracle bit-parity is preserved
-        ox, oy, oz = ox_ref[0, 0], oy_ref[0, 0], oz_ref[0, 0]
+        ox, oy, oz = rays_ref[0, 0], rays_ref[0, 128], rays_ref[0, 256]
     else:
-        ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
-    dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
+        ox = rays_ref[:, 0:128]
+        oy = rays_ref[:, 128:256]
+        oz = rays_ref[:, 256:384]
+    dx = rays_ref[:, 384:512]
+    dy = rays_ref[:, 512:640]
+    dz = rays_ref[:, 640:768]
     # dead lanes (t_max <= 0: padding, or rays masked off by the integrator
     # — sky pixels, terminated paths) are snapped to -INF so they can never
     # pass a slab test even when their origin sits inside a node's AABB
     # (there t0 is negative and `t0 < limit` would admit them). A packet
     # whose rays are ALL dead fails the root test and costs nothing — this
     # is what lets the integrator skip whole sky tiles on secondary rays.
-    tmax_in = tmax_ref[...]
+    tmax_in = rays_ref[:, 768:896]
     dead = tmax_in <= 0.0
     tmax = jnp.where(dead, -INF, tmax_in)
 
@@ -429,8 +439,11 @@ def _trace_packets_impl(meta: Array, aabb: Array, tverts: Array,
     shape2 = (n_packets * rows, PACKET_LANES)
     comps = [orig[:, 0], orig[:, 1], orig[:, 2], dd[:, 0], dd[:, 1], dd[:, 2], tm]
     comps = [c.reshape(shape2) for c in comps]
+    # ONE packed ray operand (see kernel prologue): (R, 7*128), component c
+    # in lanes [c*128, (c+1)*128)
+    rays = jnp.stack(comps, axis=1).reshape(shape2[0], 7 * PACKET_LANES)
 
-    ray_spec = pl.BlockSpec((rows, PACKET_LANES),
+    ray_spec = pl.BlockSpec((rows, 7 * PACKET_LANES),
                             lambda i: (i, 0), memory_space=pltpu.VMEM)
     # Scene tables ride REGULAR whole-array SMEM in_specs, NOT scalar
     # prefetch: scalar-prefetch operands silently truncate beyond ~1024
@@ -462,7 +475,7 @@ def _trace_packets_impl(meta: Array, aabb: Array, tverts: Array,
     t, idx = pl.pallas_call(
         kernel,
         grid=(n_packets,),
-        in_specs=tab_specs + [ray_spec] * 7,
+        in_specs=tab_specs + [ray_spec],
         out_specs=[
             pl.BlockSpec((rows, PACKET_LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -478,7 +491,7 @@ def _trace_packets_impl(meta: Array, aabb: Array, tverts: Array,
             jax.ShapeDtypeStruct(shape2, jnp.float32),
             jax.ShapeDtypeStruct(shape2, jnp.int32),
         ],
-    )(meta_p, aabb_p, tverts_p, *comps)
+    )(meta_p, aabb_p, tverts_p, rays)
 
     return t.reshape(n_pad)[:n], idx.reshape(n_pad)[:n]
 
