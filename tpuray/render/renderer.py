@@ -177,8 +177,16 @@ class Renderer:
         self._pending_cov = out.coverage
 
     def step(self, camera: Camera) -> FrameOutputs:
-        static = bool(np.allclose(np.asarray(camera.view_proj),
-                                  np.asarray(self.state.prev_view_proj))
+        import jax
+        # the gather-free static-camera specialization wins on CPU but
+        # measured consistently SLOWER than the tiled moving path on the
+        # v5e backend (138 vs 123 ms at 800^2, 101 vs 78 at 400^2 —
+        # docs/perf.md); semantics are identical (zero motion), so only
+        # select it off-TPU
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        static = bool(not on_tpu
+                      and np.allclose(np.asarray(camera.view_proj),
+                                      np.asarray(self.state.prev_view_proj))
                       and int(self.state.frame_idx) > 0)
         cfg = self._frame_cfg if self.cfg.compact_auto else self.cfg
         self.state, out = render_frame(
