@@ -45,7 +45,7 @@ def chunk_fits_smem(chunk_nodes: int, chunk_tris: int) -> bool:
     return 2 * per_chunk + 23 * 512 < 900_000
 
 
-def _kernel(base_ref, meta_ref, aabb_ref, tverts_ref,
+def _kernel(base_ref, flags_ref, meta_ref, aabb_ref, tverts_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
             t_in_ref, idx_in_ref, t_out, idx_out, stack_ref,
             *, any_hit: bool, common_origin: bool):
@@ -58,143 +58,153 @@ def _kernel(base_ref, meta_ref, aabb_ref, tverts_ref,
     # level (trace loop in _trace_chunked_impl) with (t, idx) threaded
     # between calls. tri_base arrives via scalar prefetch so every chunk
     # reuses ONE compiled kernel.
+    # Per-packet chunk shortlist (round 4): flags_ref[p] == 0 means the
+    # conservative packet-interval bound proved NO ray of packet p can
+    # enter this chunk — the step then does only the (t, idx) carry copy,
+    # skipping the whole prologue + walk. At 131k tris / 64 chunks most
+    # (packet, chunk) pairs are dead even though every chunk is live for
+    # SOME packet, which is why the lax.cond whole-chunk skip alone barely
+    # helped.
     tri_base = base_ref[0]
     t_out[...] = t_in_ref[...]
     idx_out[...] = idx_in_ref[...]
     t_scr = t_out
     idx_scr = idx_out
 
-    if common_origin:
-        ox, oy, oz = ox_ref[0, 0], oy_ref[0, 0], oz_ref[0, 0]
-    else:
-        ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
-    dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
-    tmax_in = tmax_ref[...]
-    dead = tmax_in <= 0.0
-    tmax = jnp.where(dead, -INF, tmax_in)
+    @pl.when(flags_ref[pl.program_id(0)] != 0)
+    def _walk():
 
-    def safe_inv(v):
-        tiny = jnp.where(v < 0, np.float32(-1e-20), np.float32(1e-20))
-        return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
-
-    inv_dx, inv_dy, inv_dz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
-
-    sx = jnp.sum(dx)
-    sy = jnp.sum(dy)
-    sz = jnp.sum(dz)
-
-    def slab(node):
-        amin_x = aabb_ref[0, node]
-        amin_y = aabb_ref[1, node]
-        amin_z = aabb_ref[2, node]
-        amax_x = aabb_ref[3, node]
-        amax_y = aabb_ref[4, node]
-        amax_z = aabb_ref[5, node]
-        f0 = (amax_x - ox) * inv_dx
-        n0 = (amin_x - ox) * inv_dx
-        f1 = (amax_y - oy) * inv_dy
-        n1 = (amin_y - oy) * inv_dy
-        f2 = (amax_z - oz) * inv_dz
-        n2 = (amin_z - oz) * inv_dz
-        t1 = jnp.minimum(jnp.maximum(f0, n0),
-                         jnp.minimum(jnp.maximum(f1, n1), jnp.maximum(f2, n2)))
-        t0 = jnp.maximum(jnp.minimum(f0, n0),
-                         jnp.maximum(jnp.minimum(f1, n1), jnp.minimum(f2, n2)))
-        t = t_scr[...]
-        limit = jnp.minimum(t, tmax)
-        if any_hit:
-            active = idx_scr[...] < 0
+        if common_origin:
+            ox, oy, oz = ox_ref[0, 0], oy_ref[0, 0], oz_ref[0, 0]
         else:
-            active = jnp.ones_like(t, dtype=bool)
-        return ((t1 >= jnp.maximum(t0, 0.0)) & (t0 < limit) & (t1 > 0.0)
-                & active)
+            ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
+        dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
+        tmax_in = tmax_ref[...]
+        dead = tmax_in <= 0.0
+        tmax = jnp.where(dead, -INF, tmax_in)
 
-    def visit(node, hit, entered, count, first):
-        """Leaf scan; `first` is chunk-local, recorded idx is global."""
+        def safe_inv(v):
+            tiny = jnp.where(v < 0, np.float32(-1e-20), np.float32(1e-20))
+            return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
 
-        @pl.when(entered & (count > 0))
-        def _():
+        inv_dx, inv_dy, inv_dz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+        sx = jnp.sum(dx)
+        sy = jnp.sum(dy)
+        sz = jnp.sum(dz)
+
+        def slab(node):
+            amin_x = aabb_ref[0, node]
+            amin_y = aabb_ref[1, node]
+            amin_z = aabb_ref[2, node]
+            amax_x = aabb_ref[3, node]
+            amax_y = aabb_ref[4, node]
+            amax_z = aabb_ref[5, node]
+            f0 = (amax_x - ox) * inv_dx
+            n0 = (amin_x - ox) * inv_dx
+            f1 = (amax_y - oy) * inv_dy
+            n1 = (amin_y - oy) * inv_dy
+            f2 = (amax_z - oz) * inv_dz
+            n2 = (amin_z - oz) * inv_dz
+            t1 = jnp.minimum(jnp.maximum(f0, n0),
+                             jnp.minimum(jnp.maximum(f1, n1), jnp.maximum(f2, n2)))
+            t0 = jnp.maximum(jnp.minimum(f0, n0),
+                             jnp.maximum(jnp.minimum(f1, n1), jnp.minimum(f2, n2)))
             t = t_scr[...]
-            idx = idx_scr[...]
-            for j in range(MAX_LEAF):
-                ti = first + jnp.minimum(jnp.int32(j), count - 1)
-                nx = tverts_ref[0, ti]
-                ny = tverts_ref[1, ti]
-                nz = tverts_ref[2, ti]
-                np0 = tverts_ref[3, ti]
-                ndotd = nx * dx + ny * dy + nz * dz
-                ndoto = nx * ox + ny * oy + nz * oz
-                invalid = jnp.abs(ndotd) < PARALLEL_EPS
-                denom = jnp.where(invalid, np.float32(1.0), ndotd)
-                t_hit = (np0 - ndoto) / denom
-                px = ox + dx * t_hit
-                py = oy + dy * t_hit
-                pz = oz + dz * t_hit
-                u = (tverts_ref[4, ti] * px + tverts_ref[5, ti] * py
-                     + tverts_ref[6, ti] * pz + tverts_ref[7, ti])
-                v = (tverts_ref[8, ti] * px + tverts_ref[9, ti] * py
-                     + tverts_ref[10, ti] * pz + tverts_ref[11, ti])
-                in_tri = (u > 0) & (v > 0) & (u + v < 1)
-                ok = (jnp.logical_not(invalid) & (t_hit >= T_MIN) & in_tri
-                      & hit & (j < count) & (t_hit < t) & (t_hit < tmax))
-                t = jnp.where(ok, t_hit, t)
-                idx = jnp.where(ok, tri_base + ti, idx)
-            t_scr[...] = t
-            idx_scr[...] = idx
+            limit = jnp.minimum(t, tmax)
+            if any_hit:
+                active = idx_scr[...] < 0
+            else:
+                active = jnp.ones_like(t, dtype=bool)
+            return ((t1 >= jnp.maximum(t0, 0.0)) & (t0 < limit) & (t1 > 0.0)
+                    & active)
 
-    def expand(node, sp):
-        left = node + 1
-        right = meta_ref[2, node]
-        axis = meta_ref[3, node]
-        left_low = meta_ref[4, node]
+        def visit(node, hit, entered, count, first):
+            """Leaf scan; `first` is chunk-local, recorded idx is global."""
 
-        hit_l = slab(left)
-        hit_r = slab(right)
-        ent_l = jnp.any(hit_l)
-        ent_r = jnp.any(hit_r)
-        count_l = meta_ref[1, left]
-        count_r = meta_ref[1, right]
+            @pl.when(entered & (count > 0))
+            def _():
+                t = t_scr[...]
+                idx = idx_scr[...]
+                for j in range(MAX_LEAF):
+                    ti = first + jnp.minimum(jnp.int32(j), count - 1)
+                    nx = tverts_ref[0, ti]
+                    ny = tverts_ref[1, ti]
+                    nz = tverts_ref[2, ti]
+                    np0 = tverts_ref[3, ti]
+                    ndotd = nx * dx + ny * dy + nz * dz
+                    ndoto = nx * ox + ny * oy + nz * oz
+                    invalid = jnp.abs(ndotd) < PARALLEL_EPS
+                    denom = jnp.where(invalid, np.float32(1.0), ndotd)
+                    t_hit = (np0 - ndoto) / denom
+                    px = ox + dx * t_hit
+                    py = oy + dy * t_hit
+                    pz = oz + dz * t_hit
+                    u = (tverts_ref[4, ti] * px + tverts_ref[5, ti] * py
+                         + tverts_ref[6, ti] * pz + tverts_ref[7, ti])
+                    v = (tverts_ref[8, ti] * px + tverts_ref[9, ti] * py
+                         + tverts_ref[10, ti] * pz + tverts_ref[11, ti])
+                    in_tri = (u > 0) & (v > 0) & (u + v < 1)
+                    ok = (jnp.logical_not(invalid) & (t_hit >= T_MIN) & in_tri
+                          & hit & (j < count) & (t_hit < t) & (t_hit < tmax))
+                    t = jnp.where(ok, t_hit, t)
+                    idx = jnp.where(ok, tri_base + ti, idx)
+                t_scr[...] = t
+                idx_scr[...] = idx
 
-        visit(left, hit_l, ent_l, count_l, meta_ref[0, left])
-        visit(right, hit_r, ent_r, count_r, meta_ref[0, right])
+        def expand(node, sp):
+            left = node + 1
+            right = meta_ref[2, node]
+            axis = meta_ref[3, node]
+            left_low = meta_ref[4, node]
 
-        dpos = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz)) > 0
-        near_is_left = dpos == (left_low == 1)
-        push_l = ent_l & (count_l == 0)
-        push_r = ent_r & (count_r == 0)
-        far_node = jnp.where(near_is_left, right, left)
-        near_node = jnp.where(near_is_left, left, right)
-        push_far = jnp.where(near_is_left, push_r, push_l)
-        push_near = jnp.where(near_is_left, push_l, push_r)
+            hit_l = slab(left)
+            hit_r = slab(right)
+            ent_l = jnp.any(hit_l)
+            ent_r = jnp.any(hit_r)
+            count_l = meta_ref[1, left]
+            count_r = meta_ref[1, right]
 
-        @pl.when(push_far)
-        def _():
-            stack_ref[sp] = far_node
+            visit(left, hit_l, ent_l, count_l, meta_ref[0, left])
+            visit(right, hit_r, ent_r, count_r, meta_ref[0, right])
 
-        sp = sp + push_far.astype(jnp.int32)
+            dpos = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz)) > 0
+            near_is_left = dpos == (left_low == 1)
+            push_l = ent_l & (count_l == 0)
+            push_r = ent_r & (count_r == 0)
+            far_node = jnp.where(near_is_left, right, left)
+            near_node = jnp.where(near_is_left, left, right)
+            push_far = jnp.where(near_is_left, push_r, push_l)
+            push_near = jnp.where(near_is_left, push_l, push_r)
 
-        @pl.when(push_near)
-        def _():
-            stack_ref[sp] = near_node
+            @pl.when(push_far)
+            def _():
+                stack_ref[sp] = far_node
 
-        return sp + push_near.astype(jnp.int32)
+            sp = sp + push_far.astype(jnp.int32)
 
-    def body(sp):
-        sp = sp - 1
-        node = stack_ref[sp]
-        sp = expand(node, sp)
-        if any_hit:
-            sp = jnp.where(jnp.all((idx_scr[...] >= 0) | dead), 0, sp)
-        return sp
+            @pl.when(push_near)
+            def _():
+                stack_ref[sp] = near_node
 
-    # chunk root = local node 0 (uniform layout)
-    root_hit = slab(0)
-    root_entered = jnp.any(root_hit)
-    root_count = meta_ref[1, 0]
-    visit(0, root_hit, root_entered, root_count, meta_ref[0, 0])
-    stack_ref[0] = jnp.int32(0)
-    sp0 = jnp.where(root_entered & (root_count == 0), 1, 0).astype(jnp.int32)
-    jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
+            return sp + push_near.astype(jnp.int32)
+
+        def body(sp):
+            sp = sp - 1
+            node = stack_ref[sp]
+            sp = expand(node, sp)
+            if any_hit:
+                sp = jnp.where(jnp.all((idx_scr[...] >= 0) | dead), 0, sp)
+            return sp
+
+        # chunk root = local node 0 (uniform layout)
+        root_hit = slab(0)
+        root_entered = jnp.any(root_hit)
+        root_count = meta_ref[1, 0]
+        visit(0, root_hit, root_entered, root_count, meta_ref[0, 0])
+        stack_ref[0] = jnp.int32(0)
+        sp0 = jnp.where(root_entered & (root_count == 0), 1, 0).astype(jnp.int32)
+        jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
 
 
 def pack_forest(bvh: BVHSoA, tri: TriangleSoA) -> tuple[Array, Array, Array]:
@@ -350,7 +360,8 @@ def _trace_chunked_impl(meta: Array, aabb: Array, tverts: Array,
     call = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,   # tri_base (one compiled kernel, C calls)
+            # tri_base + per-packet entry flags (one compiled kernel, C calls)
+            num_scalar_prefetch=2,
             grid=(n_packets,),
             in_specs=smem_full + [ray_spec] * 9,
             out_specs=[ray_spec, ray_spec],
@@ -362,12 +373,15 @@ def _trace_chunked_impl(meta: Array, aabb: Array, tverts: Array,
         ],
     )
 
+    flags_i32 = flags.astype(jnp.int32)
+
     def run_chunk(ci, t, idx):
         base = (ci * ct)[None]
+        fl = jax.lax.dynamic_slice(flags_i32, (0, ci), (n_packets, 1))[:, 0]
         m = jax.lax.dynamic_slice(meta, (0, ci * cn), (5, cn))
         a = jax.lax.dynamic_slice(aabb, (0, ci * cn), (6, cn))
         tv = jax.lax.dynamic_slice(tverts, (0, ci * ct), (12, ct))
-        return call(base, m, a, tv, *comps, t, idx)
+        return call(base, fl, m, a, tv, *comps, t, idx)
 
     for c in range(n_chunks):
         ci = perm[c]
