@@ -269,37 +269,6 @@ def main() -> None:
         except Exception as e:
             emit({"metric": "svgf_chain_ms_moving_1080p", "error": repr(e)[:200]})
 
-    # beyond-SMEM scene on the chunk-streaming kernel (131k tris, 64
-    # chunks): the single-tree packet kernel cannot run this size at all
-    # and the XLA wavefront needs minutes (scripts/exp_chunked.py)
-    if have_time(120):
-        try:
-            from tpuray.scene.procedural import make_large_scene
-            from tpuray.kernels import trace_chunked as tc
-            big = make_large_scene(n_spheres=25, subdiv=4, env_width=64)
-            bmeta, baabb, btv = jax.jit(tc.pack_forest)(
-                big.bvh, big.triangles)
-
-            def run_big():
-                state["big"] = tc.trace_packed_forest(
-                    bmeta, baabb, btv, o, d, tm,
-                    big.bvh.chunk_nodes, big.bvh.chunk_tris,
-                    common_origin=True)
-
-            def sync_big():
-                np.asarray(state["big"][0][:1])
-
-            dt_big = timed(run_big, sync_big, iters=3, trials=2)
-            emit({"metric": "trace_chunked_131k_rays_per_second",
-                  "value": n_rays / dt_big, "unit": "rays/s",
-                  "tris": int(big.triangles.count),
-                  "chunks": int(big.bvh.n_chunks),
-                  "vs_baseline": (n_rays / dt_big) / baseline})
-            del big, bmeta, baabb, btv
-        except Exception as e:
-            emit({"metric": "trace_chunked_131k_rays_per_second",
-                  "error": repr(e)[:200]})
-
     # gradient fidelity: AD vs central FD across parameter classes
     # (BASELINE "gradient allclose"; round-3 verdict asked for more than the
     # base-color-only check). FD equals AD only for parameters that leave
@@ -409,6 +378,37 @@ def main() -> None:
                   "pass": bool(np.isfinite(g2) and abs(g2) > 1e-10)})
         except Exception as e:
             emit({"metric": "gradcheck_rel_err", "error": repr(e)[:200]})
+
+    # beyond-SMEM scene on the chunk-streaming kernel (131k tris, 64
+    # chunks): the single-tree packet kernel cannot run this size at all
+    # and the XLA wavefront needs minutes (scripts/exp_chunked.py)
+    if have_time(120):
+        try:
+            from tpuray.scene.procedural import make_large_scene
+            from tpuray.kernels import trace_chunked as tc
+            big = make_large_scene(n_spheres=25, subdiv=4, env_width=64)
+            bmeta, baabb, btv = jax.jit(tc.pack_forest)(
+                big.bvh, big.triangles)
+
+            def run_big():
+                state["big"] = tc.trace_packed_forest(
+                    bmeta, baabb, btv, o, d, tm,
+                    big.bvh.chunk_nodes, big.bvh.chunk_tris,
+                    common_origin=True)
+
+            def sync_big():
+                np.asarray(state["big"][0][:1])
+
+            dt_big = timed(run_big, sync_big, iters=3, trials=2)
+            emit({"metric": "trace_chunked_131k_rays_per_second",
+                  "value": n_rays / dt_big, "unit": "rays/s",
+                  "tris": int(big.triangles.count),
+                  "chunks": int(big.bvh.n_chunks),
+                  "vs_baseline": (n_rays / dt_big) / baseline})
+            del big, bmeta, baabb, btv
+        except Exception as e:
+            emit({"metric": "trace_chunked_131k_rays_per_second",
+                  "error": repr(e)[:200]})
 
     emit({"metric": "bench_total_s", "value": round(elapsed(), 1), "unit": "s"})
 
