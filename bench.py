@@ -8,8 +8,9 @@ by a wall-clock budget so a cold compile cache can never starve the
 headline (round-2 lesson: eager dispatch on the axon backend cost 472 s
 before the kernel ever ran — everything here is host numpy or jitted).
 
-Env: BENCH_BUDGET_S (default 420) caps total runtime; BENCH_FULL=1 (or
---full) ignores the budget and runs every metric.
+Env: BENCH_BUDGET_S (default 600; the round-3 driver completed an 831s
+run, so this is safe) caps total runtime; BENCH_FULL=1 (or --full) ignores
+the budget and runs every metric.
 """
 from __future__ import annotations
 
@@ -19,7 +20,7 @@ import sys
 import time
 
 T0 = time.perf_counter()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "600"))
 FULL = "--full" in sys.argv or os.environ.get("BENCH_FULL") == "1"
 
 
