@@ -81,7 +81,8 @@ def cmd_render(args) -> int:
             # measures completed frames, not async dispatch), and record
             # each frame index once — replays after a restore would
             # otherwise double-count (ADVICE r3)
-            jax.block_until_ready(out.final)
+            import numpy as _np
+            _np.asarray(out.final[:1, :1])
             r.last_outputs = out
             if frame not in seen:
                 seen.add(frame)
@@ -95,11 +96,13 @@ def cmd_render(args) -> int:
               f"{stats.restores} restores, {stats.checkpoints} checkpoints",
               file=sys.stderr)
     else:
+        import numpy as np
         for i in range(args.frames):
             t0 = time.perf_counter()
             out = r.step(cam.snapshot())
-            import jax
-            jax.block_until_ready(out.final)
+            # sync via a tiny transfer: the tunnel's block_until_ready can
+            # return before the frame finishes, making timings bogus
+            np.asarray(out.final[:1, :1])
             metrics.record(time.perf_counter() - t0)
     print(metrics.summary(), file=sys.stderr)
 
@@ -127,7 +130,7 @@ def cmd_animate(args) -> int:
     import sys
     import time
 
-    import jax
+    import numpy as np
 
     from tpuray.io.image import write_png
     from tpuray.render.renderer import Renderer
@@ -147,7 +150,7 @@ def cmd_animate(args) -> int:
         cam.rotate(args.deg_per_frame, 0.0)
         t0 = time.perf_counter()
         out = r.step(cam.snapshot())
-        jax.block_until_ready(out.final)
+        np.asarray(out.final[:1, :1])
         metrics.record(time.perf_counter() - t0)
         if i % args.every == 0:
             write_png(f"{args.out_prefix}_{i:04d}.png", r.display_image(view))
