@@ -39,17 +39,32 @@ def emit(obj: dict, to_stdout: bool = False) -> None:
     print(json.dumps(obj), file=stream, flush=True)
 
 
-def timed(fn, sync, iters: int, trials: int = 3) -> float:
+def timed_stats(fn, sync, iters: int, trials: int = 3) -> dict:
+    """Per-iteration seconds across trials: {min, median, max}.
+
+    The shared TPU pool's throughput drifts by tens of percent between
+    identical warm runs (observed 238-279 Mrays/s band); emitting the
+    spread makes that drift machine-checkable instead of a prose claim —
+    a real regression moves min, a slow pool period moves median/max."""
     fn()
     sync()
-    best = float("inf")
+    ts = []
     for _ in range(trials):
         t0 = time.perf_counter()
         for _ in range(iters):
             fn()
         sync()  # host transfer: axon block_until_ready can return early
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        ts.append((time.perf_counter() - t0) / iters)
+    ts.sort()
+    return {"min": ts[0], "median": ts[len(ts) // 2], "max": ts[-1]}
+
+
+def timed(fn, sync, iters: int, trials: int = 3) -> float:
+    return timed_stats(fn, sync, iters, trials)["min"]
+
+
+def spread_ms(st: dict) -> dict:
+    return {k: round(v * 1e3, 2) for k, v in st.items()}
 
 
 def main() -> None:
@@ -128,16 +143,24 @@ def main() -> None:
         def sync():
             np.asarray(state["out"][0][:1])
 
-        dt = timed(run, sync, iters=20, trials=3)
+        # headline gets extra trials so the best-of reflects the pool's
+        # fast period even when a slow period hits mid-bench
+        st = timed_stats(run, sync, iters=20, trials=6)
+        dt = st["min"]
 
     rays_per_s = n_rays / dt
     baseline = 100e6  # BASELINE.md target rays/s/chip
-    emit({
+    line = {
         "metric": "trace_rays_per_second",
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": rays_per_s / baseline,
-    }, to_stdout=True)
+    }
+    if not on_cpu:
+        line["spread_mrays"] = {"min": round(n_rays / st["max"] / 1e6, 1),
+                                "median": round(n_rays / st["median"] / 1e6, 1),
+                                "max": round(n_rays / st["min"] / 1e6, 1)}
+    emit(line, to_stdout=True)
 
     if on_cpu:
         return  # aux metrics are TPU measurements
@@ -189,9 +212,14 @@ def main() -> None:
         def sync_inc():
             np.asarray(state["inc"][0][:1])
 
-        dt_inc = timed(run_inc, sync_inc, iters=8, trials=2)
+        st_inc = timed_stats(run_inc, sync_inc, iters=8, trials=3)
+        dt_inc = st_inc["min"]
         emit({"metric": "trace_incoherent_rays_per_second",
               "value": n_rays / dt_inc, "unit": "rays/s",
+              "spread_mrays": {
+                  "min": round(n_rays / st_inc["max"] / 1e6, 1),
+                  "median": round(n_rays / st_inc["median"] / 1e6, 1),
+                  "max": round(n_rays / st_inc["min"] / 1e6, 1)},
               "vs_baseline": (n_rays / dt_inc) / baseline})
     except Exception as e:  # aux metrics must never kill the headline
         emit({"metric": "trace_incoherent_rays_per_second",
@@ -215,9 +243,11 @@ def main() -> None:
             def sync_f():
                 np.asarray(fstate["out"].final[:1, :1])
 
-            dt_f = timed(frame_moving, sync_f, iters=8, trials=2)
+            st_f = timed_stats(frame_moving, sync_f, iters=8, trials=3)
+            dt_f = st_f["min"]
             emit({"metric": f"frame_ms_moving_{width}px",
                   "value": round(dt_f * 1e3, 2), "unit": "ms/frame",
+                  "spread_ms": spread_ms(st_f),
                   "fps": round(1.0 / dt_f, 1),
                   "vs_baseline": (1.0 / dt_f) / 15.0})  # 15 fps target
         except Exception as e:
@@ -266,9 +296,11 @@ def main() -> None:
             def sync_s():
                 np.asarray(sstate["out"][:1, :1])
 
-            dt_s = timed(run_s, sync_s, iters=5, trials=2)
+            st_s = timed_stats(run_s, sync_s, iters=5, trials=3)
+            dt_s = st_s["min"]
             emit({"metric": "svgf_chain_ms_moving_1080p",
-                  "value": round(dt_s * 1e3, 2), "unit": "ms"})
+                  "value": round(dt_s * 1e3, 2), "unit": "ms",
+                  "spread_ms": spread_ms(st_s)})
         except Exception as e:
             emit({"metric": "svgf_chain_ms_moving_1080p", "error": repr(e)[:200]})
 
@@ -315,8 +347,15 @@ def main() -> None:
                     ok = bool(np.isfinite(g) and 0.3 < ratio < 3.0)
                 else:
                     ok = bool(rel < tol)
-                emit({"metric": f"gradcheck_{name}_rel_err", "value": rel,
-                      "unit": "relative", "grad": g, "fd": fd, "pass": ok})
+                line = {"metric": f"gradcheck_{name}_rel_err", "value": rel,
+                        "unit": "relative", "grad": g, "fd": fd, "pass": ok}
+                if order_only:
+                    # loose-by-construction semantics, machine-readable:
+                    # FD measures hard-shadow boundary flux a non-edge-
+                    # sampling renderer excludes; only sign + order of
+                    # magnitude are asserted
+                    line["mode"] = "order_only"
+                emit(line)
                 return rel
 
             cfg2 = RenderConfig(width=gw, height=gh, max_tracing_depth=2,
@@ -334,6 +373,17 @@ def main() -> None:
                 # so scaling the existing value would be a vacuous check)
                 mats = scene.materials.replace(
                     specular=jnp.full_like(scene.materials.specular, 0.5) * s)
+                _, out = render_frame(scene.replace(materials=mats), gcam,
+                                      st0, cfg2, gh, gw)
+                return jnp.mean(out.pt_color)
+
+            def loss_sheen(s):
+                # sheen scale is radiometric-linear like specular: enters
+                # BRDF evaluation (fsheen term) but none of the lobe
+                # samplers, so hit/visibility topology is exactly fixed and
+                # FD is valid (round-4 verdict: one more FD class)
+                mats = scene.materials.replace(
+                    sheen=jnp.full_like(scene.materials.sheen, 0.5) * s)
                 _, out = render_frame(scene.replace(materials=mats), gcam,
                                       st0, cfg2, gh, gw)
                 return jnp.mean(out.pt_color)
@@ -358,6 +408,7 @@ def main() -> None:
 
             run_check("base_color", loss_base, 0.8, 1e-2, 0.05)
             run_check("specular", loss_spec, 0.9, 1e-2, 0.05)
+            run_check("sheen", loss_sheen, 0.9, 1e-2, 0.05)
             if scene.lights.count > 0:
                 run_check("light_radiance", loss_lrad, 0.9, 1e-2, 0.05)
                 run_check("light_pos_interior", loss_light, 0.0, 5e-3, 0.0,

@@ -36,13 +36,15 @@ def bench(fn, sync, iters=5, trials=3):
 def main():
     enable_compile_cache()
     subdiv = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    chunk_tris = int(sys.argv[2]) if len(sys.argv) > 2 else 3072
     from tpuray.scene.procedural import make_large_scene
     from tpuray.scene.camera import OrbitCamera
     from tpuray.render.tiling import tile_pixel_coords_np
     from tpuray.kernels import trace_chunked as tc
 
     t0 = time.perf_counter()
-    scene = make_large_scene(n_spheres=25, subdiv=subdiv, env_width=64)
+    scene = make_large_scene(n_spheres=25, subdiv=subdiv, env_width=64,
+                             max_chunk_tris=chunk_tris)
     build_s = time.perf_counter() - t0
     bvh = scene.bvh
     print(json.dumps({"tris": int(scene.triangles.count),

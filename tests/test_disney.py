@@ -188,6 +188,63 @@ def test_evaluate_pdf_matches_separate_calls():
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), rtol=1e-6, atol=1e-8)
 
 
+def test_evaluate_frame_matches_evaluate_aniso():
+    """The wired-in per-lane aniso path (evaluate(..., frame=)) must equal
+    the standalone evaluate_aniso oracle on aniso lanes and plain
+    evaluate() on anisotropic == 0 lanes."""
+    rs = np.random.RandomState(5)
+    n = 128
+    v = jnp.asarray(_rand_dirs(rs, n, up=True))
+    l = jnp.asarray(_rand_dirs(rs, n, up=True))
+    nrm = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    x = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (n, 3))
+    y = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (n, 3))
+    an = jnp.asarray((np.arange(n) % 2).astype(np.float32) * 0.8)
+    mat = make_mat(n, roughness=0.3, metallic=0.4)._replace(anisotropic=an)
+
+    f_w = np.asarray(disney.evaluate(v, nrm, l, mat, frame=(x, y)))
+    f_iso = np.asarray(disney.evaluate(v, nrm, l, mat))
+    f_an = np.asarray(disney.evaluate_aniso(v, nrm, l, x, y, mat))
+    am = np.asarray(an) > 0
+    np.testing.assert_allclose(f_w[~am], f_iso[~am], rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(f_w[am], f_an[am], rtol=1e-5, atol=1e-7)
+    # the aniso result must actually differ from isotropic on aniso lanes
+    assert np.abs(f_w[am] - f_iso[am]).max() > 1e-4
+
+    # evaluate_pdf / pdf route through the same core
+    f2, p2 = disney.evaluate_pdf(v, nrm, l, mat, frame=(x, y))
+    np.testing.assert_allclose(np.asarray(f2), f_w, rtol=1e-6, atol=1e-8)
+    p3 = disney.pdf(v, nrm, l, mat, frame=(x, y))
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p3), rtol=1e-6,
+                               atol=1e-8)
+    # iso lanes keep the isotropic density
+    p_iso = np.asarray(disney.pdf(v, nrm, l, mat))
+    np.testing.assert_allclose(np.asarray(p2)[~am], p_iso[~am], rtol=1e-5)
+
+
+def test_aniso_sampler_consistent_with_pdf():
+    """MC estimate of \\int cos dw via the ANISO sampler/pdf pair matches
+    quadrature — asserts the sample_gtr2_aniso density really is
+    gtr2_aniso * ndoth / (4 ldoth) as the mixed pdf assumes."""
+    rng = np.random.default_rng(11)
+    n = 200_000
+    n_up = jnp.asarray([0.0, 0.0, 1.0])
+    v = jnp.asarray([np.sin(0.3), 0.0, np.cos(0.3)], dtype=jnp.float32)
+    x = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (n, 3))
+    y = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (n, 3))
+    mat = make_mat(n, roughness=0.4, metallic=0.6, anisotropic=0.8)
+    xi = rng.random((3, n)).astype(np.float32)
+    vb = jnp.broadcast_to(v, (n, 3))
+    nb = jnp.broadcast_to(n_up, (n, 3))
+    l = disney.sample(jnp.asarray(xi[0]), jnp.asarray(xi[1]),
+                      jnp.asarray(xi[2]), vb, nb, mat, frame=(x, y))
+    ndotl = np.asarray(l[..., 2])
+    p = np.asarray(disney.pdf(vb, nb, l, mat, frame=(x, y)))
+    valid = (ndotl > 0) & (p > 1e-8)
+    est = np.where(valid, ndotl / np.maximum(p, 1e-8), 0.0).mean()
+    assert abs(est - np.pi) / np.pi < 0.1, f"MC {est} vs pi"
+
+
 def test_precompute_view_paths_match():
     """evaluate_pre / evaluate_pdf_pre must equal the unshared evaluators
     exactly (same op structure; XLA folds the rest)."""

@@ -39,6 +39,30 @@ def test_fault_classification():
     assert not is_device_fault(KeyboardInterrupt())
 
 
+def test_fault_classification_wrapped_runtime_errors():
+    """Runtime-layer errors may WRAP the status code (ADVICE r4): match
+    tokens anywhere for JaxRuntimeError/XlaRuntimeError, prefix-only for
+    generic exceptions."""
+    class XlaRuntimeError(RuntimeError):
+        pass
+
+    class JaxRuntimeError(RuntimeError):
+        pass
+
+    assert is_device_fault(
+        XlaRuntimeError("Execution failed: INTERNAL: device tunnel reset"))
+    assert is_device_fault(JaxRuntimeError("Internal: legacy lowercase form"))
+    assert is_device_fault(XlaRuntimeError("rpc DEADLINE_EXCEEDED while "
+                                           "waiting for transfer"))
+    # programming errors from the runtime still re-raise
+    assert not is_device_fault(
+        XlaRuntimeError("INVALID_ARGUMENT: shape mismatch"))
+    # generic exceptions keep the strict prefix rule: a mid-message token
+    # must NOT trigger a restart
+    assert not is_device_fault(
+        RuntimeError("jit requires an internal buffer on device"))
+
+
 def test_uninterrupted_run(setup, tmp_path):
     frame_fn, st0 = setup
     final, stats = run_elastic(frame_fn, st0, 6, str(tmp_path / "ck.npz"),

@@ -208,3 +208,35 @@ def test_tile_coherent_sampling_finite_and_close():
     # different sampling pattern, same integrand: means agree loosely
     m_c, m_p = float(out_c.color.mean()), float(out_p.color.mean())
     assert abs(m_c - m_p) < 0.5 * max(m_p, 0.05) + 0.05
+
+
+def test_anisotropic_path_wired(scene, rng):
+    """mat.anisotropic > 0 must change the render (VERDICT r4: previously a
+    parity artifact — the integrator always evaluated isotropic), and
+    enable_aniso="auto" must resolve from the concrete material table."""
+    n = 256
+    o, d = rays_toward_origin(n, rng)
+    px = jnp.arange(n, dtype=jnp.uint32)
+    py = jnp.zeros((n,), jnp.uint32)
+    cfg = RenderConfig(max_tracing_depth=2, compact_frac=0.0)
+
+    def run(sc, **kw):
+        c = cfg.replace(**kw) if kw else cfg
+        return np.asarray(
+            trace_paths(sc, o, d, px, py, jnp.uint32(2), c).color)
+
+    iso = run(scene)
+    an_mat = scene.materials.replace(
+        anisotropic=jnp.full_like(scene.materials.anisotropic, 0.8),
+        roughness=jnp.full_like(scene.materials.roughness, 0.3),
+        metallic=jnp.full_like(scene.materials.metallic, 0.8))
+    iso_m = run(scene.replace(materials=an_mat.replace(
+        anisotropic=jnp.zeros_like(an_mat.anisotropic))))
+    auto = run(scene.replace(materials=an_mat))           # "auto" detects
+    forced_off = run(scene.replace(materials=an_mat), enable_aniso=False)
+    assert np.isfinite(auto).all()
+    # aniso rendering differs from the isotropic same-material render
+    assert np.abs(auto - iso_m).max() > 1e-4
+    # enable_aniso=False keeps the old isotropic behavior exactly
+    np.testing.assert_allclose(forced_off, iso_m, rtol=1e-5, atol=1e-7)
+    del iso

@@ -168,3 +168,95 @@ def test_batched_k_any_hit_and_dead_lanes(interp_trace, scene, rng):
     assert (np.asarray(ia)[dead] == -1).all()
     assert (np.asarray(ia)[~dead & hit] >= 0).all()
     assert (np.asarray(ia)[~dead & ~hit] == -1).all()
+
+
+def test_multi_class_fused_matches_separate(interp_trace, scene, rng):
+    """Fused 3-class walk (bounce closest-hit + 2 any-hit shadows from
+    shared origins) must equal three separate traces class-for-class."""
+    n = 2048
+    o, d_b = make_rays(rng, n)
+    # two more direction sets from the SAME origins (shadow-ray shapes)
+    d_e = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    d_e = d_e / jnp.linalg.norm(d_e, axis=-1, keepdims=True)
+    d_p = jnp.asarray(-np.asarray(d_e) + 0.3)
+    d_p = d_p / jnp.linalg.norm(d_p, axis=-1, keepdims=True)
+    inf = jnp.full((n,), interp_trace.INF)
+    # mixed live/dead lanes per class
+    tm_e = jnp.where(jnp.arange(n) % 4 == 0, 0.0, interp_trace.INF)
+    tm_p = jnp.full((n,), 1.2)
+
+    meta, aabb, tverts = interp_trace.pack_scene(scene.bvh, scene.triangles)
+    fused = interp_trace.trace_multi(
+        meta, aabb, tverts, o, [d_b, d_e, d_p], [inf, tm_e, tm_p],
+        any_hits=(False, True, True), batch_k=4)
+
+    sep = [
+        interp_trace.trace_packets(meta, aabb, tverts, o, d_b, inf),
+        interp_trace.trace_packets(meta, aabb, tverts, o, d_e, tm_e,
+                                   any_hit=True),
+        interp_trace.trace_packets(meta, aabb, tverts, o, d_p, tm_p,
+                                   any_hit=True),
+    ]
+    # closest-hit class: exact t and idx
+    np.testing.assert_array_equal(np.asarray(fused[0][1]),
+                                  np.asarray(sep[0][1]))
+    m = np.asarray(sep[0][1]) >= 0
+    np.testing.assert_allclose(np.asarray(fused[0][0])[m],
+                               np.asarray(sep[0][0])[m], rtol=1e-5)
+    # any-hit classes: hit/miss decisions must agree (the specific triangle
+    # may differ: any-hit accepts the first found, which is walk-order
+    # dependent)
+    for c in (1, 2):
+        np.testing.assert_array_equal(np.asarray(fused[c][1]) >= 0,
+                                      np.asarray(sep[c][1]) >= 0)
+    # dead lanes never hit
+    assert (np.asarray(fused[1][1])[np.arange(n) % 4 == 0] == -1).all()
+
+
+def test_multi_class_two_shadows_early_exit(interp_trace, scene, rng):
+    """All-any-hit fusion (the last-bounce env+point pair) with early exit."""
+    n = 1024
+    o, d1 = make_rays(rng, n)
+    d2 = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    d2 = d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True)
+    inf = jnp.full((n,), interp_trace.INF)
+    meta, aabb, tverts = interp_trace.pack_scene(scene.bvh, scene.triangles)
+    fused = interp_trace.trace_multi(meta, aabb, tverts, o, [d1, d2],
+                                     [inf, inf], any_hits=(True, True),
+                                     batch_k=4)
+    s1 = interp_trace.trace_packets(meta, aabb, tverts, o, d1, inf,
+                                    any_hit=True)
+    s2 = interp_trace.trace_packets(meta, aabb, tverts, o, d2, inf,
+                                    any_hit=True)
+    np.testing.assert_array_equal(np.asarray(fused[0][1]) >= 0,
+                                  np.asarray(s1[1]) >= 0)
+    np.testing.assert_array_equal(np.asarray(fused[1][1]) >= 0,
+                                  np.asarray(s2[1]) >= 0)
+
+
+def test_fused_secondary_matches_separate_integrator(interp_trace, scene,
+                                                     rng):
+    """trace_paths with the fused per-bounce secondary walk (interpret
+    mode) vs the separate-walk XLA path: same radiance per pixel."""
+    import tpuray.integrator.path_tracer as pt
+    from tpuray.scene.config import RenderConfig
+
+    n = 1024
+    o, d = make_rays(rng, n)
+    px = jnp.arange(n, dtype=jnp.uint32)
+    py = jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(3)
+    cfg = RenderConfig(max_tracing_depth=2, compact_frac=0.0)
+
+    ref = pt.trace_paths(scene, o, d, px, py, jnp.uint32(5),
+                         cfg.replace(fused_secondary=False))
+    pt.set_trace_backend("pallas")
+    try:
+        fused = pt.trace_paths(scene, o, d, px, py, jnp.uint32(5), cfg)
+    finally:
+        pt.set_trace_backend("auto")
+    np.testing.assert_allclose(np.asarray(fused.color),
+                               np.asarray(ref.color), rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(fused.first_hit_valid),
+                                  np.asarray(ref.first_hit_valid))
+    np.testing.assert_allclose(np.asarray(fused.albedo),
+                               np.asarray(ref.albedo), rtol=1e-5, atol=1e-7)

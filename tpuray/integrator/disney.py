@@ -104,11 +104,18 @@ def _colors(mat: ShadeMaterial):
     return cdlin, cspec0, csheen
 
 
-def evaluate(v: Array, n: Array, l: Array, mat: ShadeMaterial) -> Array:
+def evaluate(v: Array, n: Array, l: Array, mat: ShadeMaterial,
+             frame: tuple[Array, Array] | None = None) -> Array:
     """f_r(V, L). Zero when either direction is under the shading normal.
 
     v: toward viewer; l: toward light; n: shading normal. All unit (..., 3).
+    frame=(tangent, bitangent) switches lanes with mat.anisotropic > 0 to
+    the anisotropic specular path (see precompute_view).
     """
+    if frame is not None:
+        f, _ = _eval_core(precompute_view(v, n, mat, frame), v, n, l, mat,
+                          want_pdf=False)
+        return f
     ndotl = jnp.sum(n * l, axis=-1)
     ndotv = jnp.sum(n * v, axis=-1)
     valid = (ndotl >= 0) & (ndotv >= 0)
@@ -159,14 +166,16 @@ def evaluate_aniso(v: Array, n: Array, l: Array, x: Array, y: Array,
                    mat: ShadeMaterial) -> Array:
     """Anisotropic f_r(V, L) with tangent frame (x, y).
 
-    The reference carries this variant unused (BRDF_Evaluate_aniso,
+    The reference carries this variant as dead code (BRDF_Evaluate_aniso,
     path_tracing.frag:557-618, aniso branch commented at :583-593); here it
-    is a first-class evaluator: GTR2_aniso specular with aspect-split
-    alphas and anisotropic Smith-GGX, identical diffuse/sheen/clearcoat
-    terms. NB: no integrator path builds a tangent frame or calls this yet
-    (faithful to the reference, whose aniso branch is commented out) — a
-    builder user setting mat.anisotropic > 0 still renders isotropic; this
-    evaluator is the test/parity surface for wiring that up. Reduces to evaluate() when mat.anisotropic == 0 up to the
+    is live: GTR2_aniso specular with aspect-split alphas and anisotropic
+    Smith-GGX, identical diffuse/sheen/clearcoat terms. The integrator
+    selects this math per-lane whenever mat.anisotropic > 0 and the scene
+    enables the path (RenderConfig.enable_aniso, resolved automatically
+    from the material table) — evaluate()/evaluate_pdf()/sample() take a
+    `frame` argument and route through the same formulas (_eval_core), so
+    this standalone form is the oracle the integrator path is tested
+    against. Reduces to evaluate() when mat.anisotropic == 0 up to the
     Smith-G alpha convention (reference isotropic G uses roughness, not
     roughness^2 — kept faithfully in both paths)."""
     ndotl = jnp.sum(n * l, axis=-1)
@@ -219,8 +228,16 @@ def _lobe_probs(mat: ShadeMaterial):
     return r_diffuse / r_sum, r_specular / r_sum, r_clearcoat / r_sum
 
 
-def pdf(v: Array, n: Array, l: Array, mat: ShadeMaterial) -> Array:
-    """Mixed sampling pdf of direction l (path_tracing.frag:837-874)."""
+def pdf(v: Array, n: Array, l: Array, mat: ShadeMaterial,
+        frame: tuple[Array, Array] | None = None) -> Array:
+    """Mixed sampling pdf of direction l (path_tracing.frag:837-874).
+
+    frame=(tangent, bitangent) switches lanes with mat.anisotropic > 0 to
+    the anisotropic specular density (see precompute_view)."""
+    if frame is not None:
+        _, p = _eval_core(precompute_view(v, n, mat, frame), v, n, l, mat,
+                          want_pdf=True)
+        return p
     ndotl = jnp.sum(n * l, axis=-1)
     ndotv = jnp.sum(n * v, axis=-1)
     valid = (ndotl >= 0) & (ndotv >= 0)
@@ -244,14 +261,21 @@ def pdf(v: Array, n: Array, l: Array, mat: ShadeMaterial) -> Array:
     return jnp.where(valid, jnp.maximum(p, 1e-10), 0.0)
 
 
-def evaluate_pdf(v: Array, n: Array, l: Array, mat: ShadeMaterial
+def evaluate_pdf(v: Array, n: Array, l: Array, mat: ShadeMaterial,
+                 frame: tuple[Array, Array] | None = None
                  ) -> tuple[Array, Array]:
     """(f_r, pdf) of one direction, sharing every common subexpression.
 
     evaluate() and pdf() both build h/ndoth/ldoth and the GTR2/GTR1
     densities; the integrator needs both for the sampled bounce direction
     every bounce, so this fused form halves that work and keeps the traced
-    graph smaller than two separate calls."""
+    graph smaller than two separate calls.
+
+    frame=(tangent, bitangent) switches lanes with mat.anisotropic > 0 to
+    the anisotropic specular path (see precompute_view)."""
+    if frame is not None:
+        return _eval_core(precompute_view(v, n, mat, frame), v, n, l, mat,
+                          want_pdf=True)
     ndotl = jnp.sum(n * l, axis=-1)
     ndotv = jnp.sum(n * v, axis=-1)
     valid = (ndotl >= 0) & (ndotv >= 0)
@@ -340,6 +364,22 @@ def sample_gtr2(xi1: Array, xi2: Array, v: Array, n: Array, alpha: Array) -> Arr
     return _reflect(-v, h)
 
 
+def sample_gtr2_aniso(xi1: Array, xi2: Array, v: Array, n: Array,
+                      ax: Array, ay: Array, x: Array, y: Array) -> Array:
+    """Sample the anisotropic GTR2 half-vector distribution (h ~ D(h)|h.n|,
+    the standard Disney-BRDF-explorer transform) and reflect.
+
+    The sampled-h density matches gtr2_aniso * ndoth, so the mixed pdf in
+    _eval_core (which switches ds to gtr2_aniso on aniso lanes) stays
+    consistent with this sampler."""
+    phi = 2.0 * PI * xi1
+    t = jnp.sqrt(xi2 / jnp.maximum(1.0 - xi2, 1e-8))
+    h = (t * ax * jnp.cos(phi))[..., None] * x \
+        + (t * ay * jnp.sin(phi))[..., None] * y + n
+    h = safe_normalize(h)
+    return _reflect(-v, h)
+
+
 def sample_gtr1(xi1: Array, xi2: Array, v: Array, n: Array, alpha: Array) -> Array:
     phi = 2.0 * PI * xi1
     a2 = alpha * alpha
@@ -351,8 +391,13 @@ def sample_gtr1(xi1: Array, xi2: Array, v: Array, n: Array, alpha: Array) -> Arr
 
 
 def sample(xi1: Array, xi2: Array, xi3: Array, v: Array, n: Array,
-           mat: ShadeMaterial) -> Array:
-    """Pick a lobe by radiance share (xi3) and sample it (xi1, xi2)."""
+           mat: ShadeMaterial,
+           frame: tuple[Array, Array] | None = None) -> Array:
+    """Pick a lobe by radiance share (xi3) and sample it (xi1, xi2).
+
+    frame=(tangent, bitangent): lanes with mat.anisotropic > 0 draw their
+    specular lobe from the anisotropic GTR2 sampler instead (same frame the
+    evaluator uses). None = isotropic fast path."""
     alpha_gtr1 = 0.1 + (0.001 - 0.1) * mat.clearcoat_gloss
     alpha_gtr2 = jnp.maximum(0.001, mat.roughness * mat.roughness)
     p_d, p_s, _ = _lobe_probs(mat)
@@ -360,6 +405,12 @@ def sample(xi1: Array, xi2: Array, xi3: Array, v: Array, n: Array,
     l_diffuse = sample_cosine_hemisphere(xi1, xi2, n)
     l_specular = sample_gtr2(xi1, xi2, v, n, alpha_gtr2)
     l_clearcoat = sample_gtr1(xi1, xi2, v, n, alpha_gtr1)
+    if frame is not None:
+        fx, fy = frame
+        ax, ay = aniso_alphas(mat)
+        l_spec_a = sample_gtr2_aniso(xi1, xi2, v, n, ax, ay, fx, fy)
+        l_specular = jnp.where((mat.anisotropic > 0.0)[..., None],
+                               l_spec_a, l_specular)
 
     use_d = (xi3 <= p_d)[..., None]
     use_s = ((xi3 > p_d) & (xi3 <= p_d + p_s))[..., None]
@@ -385,20 +436,42 @@ class ViewPre(NamedTuple):
     p_d: Array           # lobe probabilities
     p_s: Array
     p_c: Array
+    # anisotropic specular path (set only when a tangent frame was given —
+    # None keeps the isotropic fast path with zero extra ops)
+    fx: Array | None = None   # tangent
+    fy: Array | None = None   # bitangent
+    ax: Array | None = None   # aspect-split alphas (aniso_alphas)
+    ay: Array | None = None
+    gs_v_aniso: Array | None = None  # smith_g_ggx_aniso(ndotv, v.x, v.y)
 
 
-def precompute_view(v: Array, n: Array, mat: ShadeMaterial) -> ViewPre:
+def precompute_view(v: Array, n: Array, mat: ShadeMaterial,
+                    frame: tuple[Array, Array] | None = None) -> ViewPre:
+    """frame=(tangent, bitangent): enables the per-lane anisotropic
+    specular path for lanes with mat.anisotropic > 0 (GTR2_aniso +
+    anisotropic Smith-GGX, path_tracing.frag:543-555,594-602). frame=None
+    is the isotropic fast path — callers gate on a static flag so scenes
+    whose anisotropic column is all zero pay nothing."""
     ndotv = jnp.sum(n * v, axis=-1)
     ndotv_c = jnp.maximum(ndotv, 1e-6)
     cdlin, cspec0, csheen = _colors(mat)
     alpha = jnp.maximum(0.001, mat.roughness * mat.roughness)
     alpha_cc = 0.1 + (0.001 - 0.1) * mat.clearcoat_gloss
     p_d, p_s, p_c = _lobe_probs(mat)
-    return ViewPre(
+    pre = ViewPre(
         ndotv=ndotv, fv=schlick_fresnel(ndotv_c), cdlin=cdlin,
         cspec0=cspec0, csheen=csheen, alpha=alpha, alpha_cc=alpha_cc,
         gs_v=smith_g_ggx(ndotv_c, mat.roughness),
         gr_v=smith_g_ggx(ndotv_c, 0.25), p_d=p_d, p_s=p_s, p_c=p_c)
+    if frame is not None:
+        fx, fy = frame
+        ax, ay = aniso_alphas(mat)
+        pre = pre._replace(
+            fx=fx, fy=fy, ax=ax, ay=ay,
+            gs_v_aniso=smith_g_ggx_aniso(
+                ndotv_c, jnp.sum(v * fx, axis=-1),
+                jnp.sum(v * fy, axis=-1), ax, ay))
+    return pre
 
 
 def _eval_core(pre: ViewPre, v: Array, n: Array, l: Array,
@@ -425,6 +498,20 @@ def _eval_core(pre: ViewPre, v: Array, n: Array, l: Array,
     fh = schlick_fresnel(ldoth)
     fs = pre.cspec0 * (1.0 - fh[..., None]) + fh[..., None]
     gs = smith_g_ggx(ndotl, mat.roughness) * pre.gs_v
+    if pre.fx is not None:
+        # per-lane anisotropic specular (BRDF_Evaluate_aniso,
+        # path_tracing.frag:557-618): lanes with anisotropic == 0 keep the
+        # reference's isotropic math exactly (incl. its roughness-not-
+        # roughness^2 Smith-G convention), so wiring this in changes
+        # nothing for isotropic scenes
+        am = mat.anisotropic > 0.0
+        ds_a = gtr2_aniso(ndoth, jnp.sum(h * pre.fx, axis=-1),
+                          jnp.sum(h * pre.fy, axis=-1), pre.ax, pre.ay)
+        gs_a = smith_g_ggx_aniso(
+            ndotl, jnp.sum(l * pre.fx, axis=-1),
+            jnp.sum(l * pre.fy, axis=-1), pre.ax, pre.ay) * pre.gs_v_aniso
+        ds = jnp.where(am, ds_a, ds)
+        gs = jnp.where(am, gs_a, gs)
 
     dr = gtr1(ndoth, pre.alpha_cc)
     fr = 0.04 + 0.96 * fh

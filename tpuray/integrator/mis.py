@@ -34,6 +34,7 @@ def trace_paths_mis(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
                     common_origin: bool = False) -> "pt.PTOutput":
     n = orig.shape[0]
     pk = pt.pack_scene_tables(scene)
+    aniso = pt.resolve_aniso(scene, cfg)
 
     seed = rng.pixel_seed(px, py, frame)
     _, seed = rng.rand(seed)
@@ -89,6 +90,8 @@ def trace_paths_mis(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
             light = light + jnp.where(miss[..., None], env_rad, 0.0)
         alive = alive & hit.valid
         v = -d
+        # anisotropic path (static gate, see path_tracer.resolve_aniso)
+        tb = disney.build_onb(hit.normal) if aniso else None
 
         # --- light sampling arm (frag:981-1004) ---
         if coherent:
@@ -105,7 +108,8 @@ def trace_paths_mis(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
         unblocked = sidx < 0
         radiance_l = env.env_radiance_packed(pk.env_image_q, l_light)
         pdf_light = env.env_pdf_packed(pk.env_cache_q, l_light)
-        f_r_l, pdf_brdf_l = disney.evaluate_pdf(v, hit.normal, l_light, hit.mat)
+        f_r_l, pdf_brdf_l = disney.evaluate_pdf(v, hit.normal, l_light,
+                                                hit.mat, frame=tb)
         w_l = mis_mix_weight(pdf_light, pdf_brdf_l)
         ndotl_l = jnp.maximum(jnp.sum(hit.normal * l_light, axis=-1), 0.0)
         contrib_l = (w_l[..., None] * history * radiance_l * f_r_l
@@ -121,11 +125,13 @@ def trace_paths_mis(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
             xi3, tseed = tile_rand(tseed)
         else:
             xi3, seed = rng.rand(seed)
-        l_new = disney.sample(xi1, xi2, xi3, v, hit.normal, hit.mat)
+        l_new = disney.sample(xi1, xi2, xi3, v, hit.normal, hit.mat,
+                              frame=tb)
         ndotl = jnp.sum(hit.normal * l_new, axis=-1)
         alive = alive & (ndotl > 0.0)
 
-        f_r, pdf_brdf = disney.evaluate_pdf(v, hit.normal, l_new, hit.mat)
+        f_r, pdf_brdf = disney.evaluate_pdf(v, hit.normal, l_new, hit.mat,
+                                            frame=tb)
         alive = alive & (pdf_brdf > 0.0)
 
         t2, idx2 = pt.trace(scene.bvh, scene.triangles, hit.point, l_new,

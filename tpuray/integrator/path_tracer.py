@@ -101,6 +101,22 @@ def trace(bvh, tri, orig, d, t_max=INF, any_hit=False, common_origin=False):
     return trace_xla(bvh, tri, orig, d, t_max=t_max, any_hit=any_hit)
 
 
+def resolve_aniso(scene: Scene, cfg: RenderConfig) -> bool:
+    """Static resolution of RenderConfig.enable_aniso ("auto" -> whether the
+    material table has any anisotropic > 0 row). Must run on CONCRETE
+    materials: under jit the data is unknowable and "auto" degrades to the
+    isotropic fast path — the Renderer resolves it at construction, before
+    compiling; direct render_frame callers with anisotropic scenes should
+    pass enable_aniso=True (or pre-resolve with this helper)."""
+    ea = cfg.enable_aniso
+    if ea != "auto":
+        return bool(ea)
+    arr = scene.materials.anisotropic
+    if isinstance(arr, jax.core.Tracer):
+        return False
+    return bool(np.any(np.asarray(arr) > 0.0))
+
+
 class Hit(NamedTuple):
     valid: Array      # (N,) bool
     point: Array      # (N, 3)
@@ -211,17 +227,14 @@ def resolve_hit(scene: Scene, orig: Array, d: Array, t: Array, idx: Array,
                inside=inside, uv=uv, mat=mat, tri_idx=idx, t=t)
 
 
-def _env_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array,
-             r1: Array, r2: Array, tile_repeat: int = 1,
-             active: Array | None = None,
-             pre: "disney.ViewPre | None" = None) -> tuple[Array, Array]:
-    """Envmap light sample with shadow ray (hdriLight,
-    path_tracing.frag:922-946). Returns (contribution, pdf).
+def _env_nee_sample(pk: PackedScene, r1: Array, r2: Array,
+                    tile_repeat: int = 1) -> tuple[Array, Array, Array]:
+    """Envmap light-sample directions (hdriLight's SampleHdr half,
+    path_tracing.frag:787-799). Returns (direction, radiance, pdf).
 
     tile_repeat > 1: r1/r2 are per-TILE randoms (tile-coherent sampling);
     the envmap lookup — a full-frame gather otherwise — runs at tile
-    granularity (N/tile_repeat rows) and broadcasts; only the shadow rays
-    stay per-pixel.
+    granularity (N/tile_repeat rows) and broadcasts.
 
     (direction, radiance, pdf) come from ONE row gather of the precomputed
     NEE table (sampling.envmap.pack_env_nee_table) instead of three separate
@@ -229,20 +242,17 @@ def _env_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array,
     800x800 on TPU, so this is a large share of the frame."""
     l_t, radiance_t, p_t = env.sample_env_nee(pk.env_nee_t, r1, r2)
     if tile_repeat > 1:
-        l = jnp.repeat(l_t, tile_repeat, axis=0)
-        radiance = jnp.repeat(radiance_t, tile_repeat, axis=0)
-        p = jnp.repeat(p_t, tile_repeat, axis=0)
-    else:
-        l, radiance, p = l_t, radiance_t, p_t
+        return (jnp.repeat(l_t, tile_repeat, axis=0),
+                jnp.repeat(radiance_t, tile_repeat, axis=0),
+                jnp.repeat(p_t, tile_repeat, axis=0))
+    return l_t, radiance_t, p_t
 
-    # dead lanes (terminated paths / sky pixels) get t_max = 0: the packet
-    # kernel treats them as inert, so all-dead screen tiles skip the whole
-    # walk. Their outputs are garbage but every consumer below re-masks.
-    s_tmax = INF if active is None else jnp.where(active, INF, 0.0)
-    _, sidx = trace(scene.bvh, scene.triangles, hit.point, l, t_max=s_tmax,
-                    any_hit=True)
-    blocked = sidx >= 0
 
+def _env_nee_contrib(hit: Hit, v: Array, l: Array, radiance: Array, p: Array,
+                     blocked: Array,
+                     pre: "disney.ViewPre | None") -> tuple[Array, Array]:
+    """Contribution half of hdriLight (path_tracing.frag:922-946) given the
+    shadow-ray outcome. Returns (contribution, pdf)."""
     f_r = (disney.evaluate_pre(pre, v, hit.normal, l, hit.mat)
            if pre is not None else disney.evaluate(v, hit.normal, l, hit.mat))
     p = jnp.where(blocked, 0.0, p)
@@ -255,32 +265,43 @@ def _env_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array,
     return contrib, p
 
 
-def _point_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array, u: Array,
-               active: Array | None = None,
-               pre: "disney.ViewPre | None" = None) -> tuple[Array, Array]:
-    """Point-light sample with shadow ray (calculatePointLight,
-    path_tracing.frag:884-919): uniform light pick, pdf = 2*pi/n_lights,
-    quadratic falloff."""
-    n_lights = scene.lights.count
-    if n_lights == 0:
-        z = jnp.zeros(hit.point.shape, jnp.float32)
-        return z, jnp.zeros(hit.point.shape[:-1], jnp.float32)
+def _env_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array,
+             r1: Array, r2: Array, tile_repeat: int = 1,
+             active: Array | None = None,
+             pre: "disney.ViewPre | None" = None) -> tuple[Array, Array]:
+    """Envmap NEE with its own shadow trace (the unfused path; the fused
+    TPU path routes the shadow ray through trace_multi instead)."""
+    l, radiance, p = _env_nee_sample(pk, r1, r2, tile_repeat)
+    # dead lanes (terminated paths / sky pixels) get t_max = 0: the packet
+    # kernel treats them as inert, so all-dead screen tiles skip the whole
+    # walk. Their outputs are garbage but every consumer below re-masks.
+    s_tmax = INF if active is None else jnp.where(active, INF, 0.0)
+    _, sidx = trace(scene.bvh, scene.triangles, hit.point, l, t_max=s_tmax,
+                    any_hit=True)
+    return _env_nee_contrib(hit, v, l, radiance, p, sidx >= 0, pre)
 
+
+def _point_nee_sample(scene: Scene, pk: PackedScene, hit: Hit, u: Array
+                      ) -> tuple[Array, Array, Array]:
+    """Point-light pick + direction (calculatePointLight's first half,
+    path_tracing.frag:884-900). Returns (direction, distance, radiance)."""
+    n_lights = scene.lights.count
     li = jnp.minimum((u * n_lights).astype(jnp.int32), n_lights - 1)
     from tpuray.integrator.gather_tables import fetch_small_table
     lrow = fetch_small_table(pk.light_table, li)  # select-chain, no gather
     lpos = lrow[..., 0:3]
     lrad = lrow[..., 3:6]
-
     delta = lpos - hit.point
     dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-24))
-    ldir = delta / dist[..., None]
+    return delta / dist[..., None], dist, lrad
 
-    s_tmax = dist if active is None else jnp.where(active, dist, 0.0)
-    st, sidx = trace(scene.bvh, scene.triangles, hit.point, ldir,
-                     t_max=s_tmax, any_hit=True)
-    shadowed = sidx >= 0
 
+def _point_nee_contrib(scene: Scene, hit: Hit, v: Array, ldir: Array,
+                       dist: Array, lrad: Array, shadowed: Array,
+                       pre: "disney.ViewPre | None") -> tuple[Array, Array]:
+    """Contribution half of calculatePointLight (path_tracing.frag:900-919):
+    pdf = 2*pi/n_lights, quadratic falloff."""
+    n_lights = scene.lights.count
     pdf = jnp.full(dist.shape, 2.0 * PI / n_lights, jnp.float32)
     falloff = lrad / jnp.maximum(dist * dist, 1e-12)[..., None]
     f_r = (disney.evaluate_pre(pre, v, hit.normal, ldir, hit.mat)
@@ -290,6 +311,21 @@ def _point_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array, u: Array,
                * jnp.abs(jnp.sum(ldir * hit.normal, axis=-1))[..., None] / pdf[..., None])
     contrib = jnp.where(shadowed[..., None], 0.0, contrib)
     return contrib, pdf
+
+
+def _point_nee(scene: Scene, pk: PackedScene, hit: Hit, v: Array, u: Array,
+               active: Array | None = None,
+               pre: "disney.ViewPre | None" = None) -> tuple[Array, Array]:
+    """Point-light NEE with its own shadow trace (the unfused path)."""
+    if scene.lights.count == 0:
+        z = jnp.zeros(hit.point.shape, jnp.float32)
+        return z, jnp.zeros(hit.point.shape[:-1], jnp.float32)
+    ldir, dist, lrad = _point_nee_sample(scene, pk, hit, u)
+    s_tmax = dist if active is None else jnp.where(active, dist, 0.0)
+    _, sidx = trace(scene.bvh, scene.triangles, hit.point, ldir,
+                    t_max=s_tmax, any_hit=True)
+    return _point_nee_contrib(scene, hit, v, ldir, dist, lrad, sidx >= 0,
+                              pre)
 
 
 class PTOutput(NamedTuple):
@@ -315,16 +351,33 @@ class _ShadeOut(NamedTuple):
     normal0: Array         # (N, 3) first-hit shading normal
 
 
+def _use_fused_secondary(scene: Scene, cfg: RenderConfig) -> bool:
+    """Static gate for the fused per-bounce secondary traversal
+    (kernels.trace_pallas.trace_multi): TPU Pallas path, single-tree scene
+    inside the SMEM budget, fusion enabled. The three per-bounce walks
+    (bounce ray + envmap shadow + point shadow) share their origins, so one
+    fused walk pays the per-node any() stall, fixed packet cost and ray DMA
+    once for the union instead of three times."""
+    if not (cfg.fused_secondary and _use_pallas()):
+        return False
+    if scene.bvh.chunk_nodes:
+        return False
+    from tpuray.kernels.trace_pallas import scene_fits_smem
+    return scene_fits_smem(scene.bvh.count, scene.triangles.count)
+
+
 def _shade_loop(scene: Scene, pk: PackedScene, cfg: RenderConfig,
                 orig: Array, d: Array, px: Array, py: Array,
                 frame: Array | int, first_t: Array, first_idx: Array,
-                coherent: bool = False) -> _ShadeOut:
+                coherent: bool = False, aniso: bool = False) -> _ShadeOut:
     """The per-bounce NEE + BSDF loop, with the bounce-0 traversal given.
 
     Every sample stream is keyed on (px, py, frame) — lane POSITION never
-    enters the math (except in `coherent` tile mode) — so running this loop
-    on a compacted subset of lanes yields bit-identical per-pixel results
-    (the compaction property trace_paths relies on). Lanes whose first_idx
+    enters the math (even in `coherent` tile mode, whose streams are keyed
+    on px//32) — so running this loop on a compacted subset of lanes
+    yields the same per-pixel math (identical up to XLA fusion
+    reassociation — the compaction property trace_paths relies on). Lanes
+    whose first_idx
     is < 0 are miss lanes: they report the environment escape at bounce 0.
     """
     n = orig.shape[0]
@@ -371,14 +424,15 @@ def _shade_loop(scene: Scene, pk: PackedScene, cfg: RenderConfig,
     point0 = jnp.zeros((n, 3), jnp.float32)
     normal0 = jnp.zeros((n, 3), jnp.float32)
 
+    fused = _use_fused_secondary(scene, cfg)
+    if fused:
+        from tpuray.kernels.trace_pallas import pack_scene, trace_multi
+        k_tabs = pack_scene(scene.bvh, scene.triangles)  # traced: free
+    has_lights = scene.lights.count > 0
+
+    t, idx = first_t, first_idx
     for bounce in range(cfg.max_tracing_depth):
-        if bounce == 0:
-            t, idx = first_t, first_idx
-        else:
-            # terminated paths stop paying for traversal: t_max = 0 marks
-            # the lane dead to the packet kernel
-            b_tmax = jnp.where(alive, INF, 0.0)
-            t, idx = trace(scene.bvh, scene.triangles, orig, d, t_max=b_tmax)
+        last = bounce == cfg.max_tracing_depth - 1
         hit = resolve_hit(scene, orig, d, t, idx, cfg, pk)
 
         if bounce == 0:
@@ -405,13 +459,18 @@ def _shade_loop(scene: Scene, pk: PackedScene, cfg: RenderConfig,
             xi3, seed = rng.rand(seed)
 
         v = -d
-        l_new = disney.sample(xi1, xi2, xi3, v, hit.normal, hit.mat)
+        # anisotropic path (static gate, see resolve_aniso): tangent frame
+        # from the same ONB convention as toNormalHemisphere; the sampler
+        # and all three evaluations below share it through `pre`
+        tb = disney.build_onb(hit.normal) if aniso else None
+        l_new = disney.sample(xi1, xi2, xi3, v, hit.normal, hit.mat,
+                              frame=tb)
         ndotl = jnp.sum(hit.normal * l_new, axis=-1)
         alive = alive & (ndotl > 0.0)
 
         # shade (frag:948-968): env NEE + point NEE + BSDF-emissive, weighted
         # — three BSDF evaluations share one view-dependent precompute
-        pre = disney.precompute_view(v, hit.normal, hit.mat)
+        pre = disney.precompute_view(v, hit.normal, hit.mat, frame=tb)
         f_r, brdf_pdf = disney.evaluate_pdf_pre(pre, v, hit.normal, l_new,
                                                 hit.mat)
         if coherent:
@@ -422,10 +481,42 @@ def _shade_loop(scene: Scene, pk: PackedScene, cfg: RenderConfig,
             er1, seed = rng.rand(seed)
             er2, seed = rng.rand(seed)
             lu, seed = rng.rand(seed)
-        env_c, env_pdf_v = _env_nee(scene, pk, hit, v, er1, er2,
-                                    active=alive, pre=pre)
-        pt_c, pt_pdf_v = _point_nee(scene, pk, hit, v, lu, active=alive,
-                                    pre=pre)
+        if fused:
+            # ONE fused walk for this bounce's (up to) three secondary ray
+            # classes — all from hit.point. Dead lanes stay inert via
+            # t_max = 0 exactly as in the separate-walk path.
+            l_env, env_rad, env_p = _env_nee_sample(pk, er1, er2)
+            act_inf = jnp.where(alive, INF, 0.0)
+            dirs, tms, ah = [l_env], [act_inf], [True]
+            if has_lights:
+                ldir, ldist, lrad = _point_nee_sample(scene, pk, hit, lu)
+                dirs.append(ldir)
+                tms.append(jnp.where(alive, ldist, 0.0))
+                ah.append(True)
+            if not last:
+                dirs.insert(0, l_new)
+                tms.insert(0, act_inf)
+                ah.insert(0, False)
+            res = trace_multi(*k_tabs, hit.point, dirs, tms, tuple(ah),
+                              batch_k=BATCH_K_INCOHERENT)
+            ci = 0
+            if not last:
+                t_next, idx_next = res[0]
+                ci = 1
+            env_c, env_pdf_v = _env_nee_contrib(
+                hit, v, l_env, env_rad, env_p, res[ci][1] >= 0, pre)
+            if has_lights:
+                pt_c, pt_pdf_v = _point_nee_contrib(
+                    scene, hit, v, ldir, ldist, lrad, res[ci + 1][1] >= 0,
+                    pre)
+            else:
+                pt_c = jnp.zeros((n, 3), jnp.float32)
+                pt_pdf_v = jnp.zeros((n,), jnp.float32)
+        else:
+            env_c, env_pdf_v = _env_nee(scene, pk, hit, v, er1, er2,
+                                        active=alive, pre=pre)
+            pt_c, pt_pdf_v = _point_nee(scene, pk, hit, v, lu, active=alive,
+                                        pre=pre)
         cos_term = jnp.abs(ndotl)[..., None]
         brdf_c = hit.mat.emissive * f_r * cos_term / jnp.maximum(brdf_pdf, 1e-12)[..., None]
 
@@ -442,6 +533,15 @@ def _shade_loop(scene: Scene, pk: PackedScene, cfg: RenderConfig,
 
         orig = hit.point
         d = jnp.where(alive[..., None], l_new, d)
+        if not last:
+            if fused:
+                t, idx = t_next, idx_next
+            else:
+                # terminated paths stop paying for traversal: t_max = 0
+                # marks the lane dead to the packet kernel
+                b_tmax = jnp.where(alive, INF, 0.0)
+                t, idx = trace(scene.bvh, scene.triangles, orig, d,
+                               t_max=b_tmax)
 
     return _ShadeOut(light=light, miss_any=miss_any, miss_dir=miss_dir,
                      miss_reduction=miss_reduction, emission0=emission0,
@@ -476,9 +576,11 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
     the surviving lanes are packed densely into a compact_frac-sized buffer
     and the whole shading loop runs at that size — sky lanes stop paying for
     Disney/RNG math, table gathers and (because the dead tail forms whole
-    dead packets) the incoherent secondary traversals. Per-pixel results are
-    bit-identical to the uncompacted loop (sample streams are keyed on
-    pixel, not lane). If more lanes survive than the budget, a residual
+    dead packets) the incoherent secondary traversals. Per-pixel results
+    are identical up to XLA fusion reassociation (sample streams are keyed
+    on pixel, not lane; the differently-fused programs can flip grazing
+    visibility tests at isolated pixels — see RenderConfig.compact_frac).
+    If more lanes survive than the budget, a residual
     full-width pass handles the overflow lanes under lax.cond, so the
     fast path stays exact for any scene coverage.
     """
@@ -489,6 +591,7 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
     n = orig.shape[0]
     pk = pack_scene_tables(scene)  # wide-gather tables (cheap reshuffles)
     coherent = cfg.tile_coherent_sampling
+    aniso = resolve_aniso(scene, cfg)
 
     t0_full, idx0_full = trace(scene.bvh, scene.triangles, orig, d,
                                t_max=INF, common_origin=common_origin)
@@ -497,7 +600,7 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
     budget = _compact_budget(n, cfg)
     if budget == 0:
         out = _shade_loop(scene, pk, cfg, orig, d, px, py, frame,
-                          t0_full, idx0_full, coherent=coherent)
+                          t0_full, idx0_full, coherent=coherent, aniso=aniso)
     else:
         # stable compaction: sel = the first `budget` surviving lane ids in
         # tile order (preserves spatial coherence inside packets); padding
@@ -520,7 +623,10 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
             gi[:, 0].astype(jnp.uint32), gi[:, 1].astype(jnp.uint32), frame,
             jnp.where(lane_ok, gf[:, 6], INF),
             jnp.where(lane_ok, gi[:, 2], -1),
-            coherent=False)
+            # tile keying is pixel-derived (px//32), never lane-position —
+            # safe under compaction (ADVICE r4: dropping it here silently
+            # disabled tile_coherent_sampling whenever compact_frac > 0)
+            coherent=coherent, aniso=aniso)
 
         # ONE fused scatter of every per-lane output (7x3 f32 + 2 flags).
         # miss_dir is scattered as a delta on top of d so lanes that never
@@ -556,7 +662,7 @@ def trace_paths(scene: Scene, orig: Array, d: Array, px: Array, py: Array,
             r = _shade_loop(scene, pk, cfg, orig, d, px, py, frame,
                             jnp.where(r_alive, t0_full, INF),
                             jnp.where(r_alive, idx0_full, -1),
-                            coherent=False)
+                            coherent=coherent, aniso=aniso)
             # lanes masked OFF this pass (first_idx forced to -1) report a
             # bounce-0 "miss" — scrub it, or the merge below would hand
             # every such lane a full-strength env contribution on top of

@@ -49,6 +49,21 @@ MAX_STACK = 128  # >= 2 * max tree depth; asserted at pack time
 MAX_LEAF = 8     # builder leaf size (accel/bvh.py); asserted at pack time
 
 
+def batched_stack_size(batch_k: int) -> int:
+    """SMEM stack entries for the batched-K kernel.
+
+    Batched-K expansion pops K nodes and pushes up to 2K before popping
+    again, so its peak occupancy is NOT the strict-DFS bound the pack-time
+    assert checks (~depth+1): each K-pop level can leave up to K unexpanded
+    nodes behind, i.e. up to ~K * strict_max live entries (ADVICE r4 —
+    at MAX_STACK=128 a deep SMEM-fitting tree could overflow silently).
+    Bound: the kernel soft-clamps k to 1 once sp exceeds batch_k*MAX_STACK;
+    from any state, strict (k=1) expansion grows occupancy by at most
+    depth+1 <= MAX_STACK more, so (batch_k+1)*MAX_STACK (+margin) can never
+    be exceeded. ~4.6 KB of SMEM at K=8."""
+    return (max(batch_k, 1) + 1) * MAX_STACK + 8
+
+
 def _kernel_batched(meta_ref, aabb_ref, tverts_ref, rays_ref,
                     t_out, idx_out, t_scr, idx_scr, stack_ref,
                     *, n_nodes: int, any_hit: bool, common_origin: bool,
@@ -142,7 +157,13 @@ def _kernel_batched(meta_ref, aabb_ref, tverts_ref, rays_ref,
             idx_scr[...] = idx
 
     def body(sp):
-        k = jnp.minimum(sp, batch_k)
+        # soft clamp (see batched_stack_size): past batch_k*MAX_STACK live
+        # entries fall back to strict one-pop expansion, whose growth is
+        # bounded by tree depth — keeps the worst-case occupancy provably
+        # inside the scratch allocation. Unreachable on sane trees (measured
+        # peaks are tens of entries); costs one scalar min per iteration.
+        k = jnp.minimum(jnp.minimum(sp, batch_k),
+                        jnp.maximum(batch_k * MAX_STACK - sp, 1))
         # vector phase: all 2K child slab tests + any() reductions issued
         # with NO scalar consumption in between
         limit = jnp.minimum(t_scr[...], tmax)
@@ -161,7 +182,9 @@ def _kernel_batched(meta_ref, aabb_ref, tverts_ref, rays_ref,
         # scalar/leaf phase: consume flags (their latencies overlapped)
         for i in range(batch_k):
             node, left, right, hit_l, hit_r, ent_l, ent_r = infos[i]
-            valid_i = i < sp
+            # i < k, NOT i < sp: entries beyond the (possibly clamped) pop
+            # count stay on the stack and must not be expanded this round
+            valid_i = i < k
             ent_l = ent_l & valid_i
             ent_r = ent_r & valid_i
             count_l = meta_ref[1, left]
@@ -390,6 +413,220 @@ def _kernel(meta_ref, aabb_ref, tverts_ref, rays_ref,
     idx_out[...] = idx_scr[...]
 
 
+def _kernel_multi(meta_ref, aabb_ref, tverts_ref, rays_ref, *refs,
+                  n_nodes: int, any_hits: tuple, rows: int, batch_k: int):
+    """Fused multi-class traversal: M ray classes sharing per-lane ORIGINS
+    walk the tree together in one batched-K DFS.
+
+    The integrator's per-bounce work is three walks from the same hit
+    points — the sampled bounce ray (closest-hit) plus the envmap and
+    point-light shadow rays (any-hit), cf. the reference's three hitBVH
+    calls per bounce (path_tracing.frag:948-968, 1056-1128). Fusing them
+    pays the fixed per-packet cost, the ray-operand DMA and (critically)
+    the serialized vector->scalar any() readback once per visited node for
+    the UNION of the classes instead of once per class — the unions overlap
+    heavily because the origins are identical. Per-class decisions
+    (slab limits, leaf tests, any-hit early-out) are kept exactly
+    equivalent to _kernel_batched, so each class's (t, idx) equals a
+    separate-walk result bit-for-bit.
+
+    Ray operand: ONE VMEM block (rows, (3 + 4*M)*128): origin xyz in lanes
+    [0, 3*128), then per class c its (dx, dy, dz, tmax) in lanes
+    [(3+4c)*128, (7+4c)*128).
+    refs: M t_out, M idx_out, then scratch (M t_scr, M idx_scr, stack).
+    """
+    m = len(any_hits)
+    t_out = refs[0:m]
+    idx_out = refs[m:2 * m]
+    t_scr = refs[2 * m:3 * m]
+    idx_scr = refs[3 * m:4 * m]
+    stack_ref = refs[4 * m]
+
+    ox = rays_ref[:, 0:128]
+    oy = rays_ref[:, 128:256]
+    oz = rays_ref[:, 256:384]
+
+    def safe_inv(v):
+        tiny = jnp.where(v < 0, np.float32(-1e-20), np.float32(1e-20))
+        return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
+
+    dx, dy, dz, tmax, dead, inv_dx, inv_dy, inv_dz = \
+        [], [], [], [], [], [], [], []
+    for c in range(m):
+        b = (3 + 4 * c) * 128
+        dx.append(rays_ref[:, b:b + 128])
+        dy.append(rays_ref[:, b + 128:b + 256])
+        dz.append(rays_ref[:, b + 256:b + 384])
+        tm_in = rays_ref[:, b + 384:b + 512]
+        dead.append(tm_in <= 0.0)
+        tmax.append(jnp.where(tm_in <= 0.0, -INF, tm_in))
+        inv_dx.append(safe_inv(dx[c]))
+        inv_dy.append(safe_inv(dy[c]))
+        inv_dz.append(safe_inv(dz[c]))
+
+    # near-first ordering from class 0's dominant direction (the closest-hit
+    # bounce class when present; shadow classes are order-insensitive)
+    sx, sy, sz = jnp.sum(dx[0]), jnp.sum(dy[0]), jnp.sum(dz[0])
+
+    def slab(node, limits):
+        """Per-class hit masks; the (bound - origin) diffs are shared."""
+        dminx = aabb_ref[0, node] - ox
+        dminy = aabb_ref[1, node] - oy
+        dminz = aabb_ref[2, node] - oz
+        dmaxx = aabb_ref[3, node] - ox
+        dmaxy = aabb_ref[4, node] - oy
+        dmaxz = aabb_ref[5, node] - oz
+        hits = []
+        for c in range(m):
+            f0 = dmaxx * inv_dx[c]
+            n0 = dminx * inv_dx[c]
+            f1 = dmaxy * inv_dy[c]
+            n1 = dminy * inv_dy[c]
+            f2 = dmaxz * inv_dz[c]
+            n2 = dminz * inv_dz[c]
+            t1 = jnp.minimum(jnp.maximum(f0, n0),
+                             jnp.minimum(jnp.maximum(f1, n1),
+                                         jnp.maximum(f2, n2)))
+            t0 = jnp.maximum(jnp.minimum(f0, n0),
+                             jnp.maximum(jnp.minimum(f1, n1),
+                                         jnp.minimum(f2, n2)))
+            hits.append((t1 >= jnp.maximum(t0, 0.0)) & (t0 < limits[c])
+                        & (t1 > 0.0))
+        return hits
+
+    def visit(hits, entered, count, first):
+        @pl.when(entered & (count > 0))
+        def _():
+            ts = [t_scr[c][...] for c in range(m)]
+            idxs = [idx_scr[c][...] for c in range(m)]
+            t_lims = []
+            for c in range(m):
+                tl = jnp.where(hits[c], jnp.minimum(ts[c], tmax[c]), -INF)
+                if any_hits[c]:
+                    tl = jnp.where(idxs[c] < 0, tl, -INF)
+                t_lims.append(tl)
+            for j in range(MAX_LEAF):
+                ti = first + jnp.minimum(jnp.int32(j), count - 1)
+                nx = tverts_ref[0, ti]
+                ny = tverts_ref[1, ti]
+                nz = tverts_ref[2, ti]
+                np0 = tverts_ref[3, ti]
+                ndoto = nx * ox + ny * oy + nz * oz  # shared origin
+                for c in range(m):
+                    ndotd = nx * dx[c] + ny * dy[c] + nz * dz[c]
+                    invalid = jnp.abs(ndotd) < PARALLEL_EPS
+                    denom = jnp.where(invalid, np.float32(1.0), ndotd)
+                    t_hit = (np0 - ndoto) / denom
+                    px = ox + dx[c] * t_hit
+                    py = oy + dy[c] * t_hit
+                    pz = oz + dz[c] * t_hit
+                    u = (tverts_ref[4, ti] * px + tverts_ref[5, ti] * py
+                         + tverts_ref[6, ti] * pz + tverts_ref[7, ti])
+                    v = (tverts_ref[8, ti] * px + tverts_ref[9, ti] * py
+                         + tverts_ref[10, ti] * pz + tverts_ref[11, ti])
+                    in_tri = (u > 0) & (v > 0) & (u + v < 1)
+                    ok = (jnp.logical_not(invalid) & (t_hit >= T_MIN)
+                          & in_tri & (j < count) & (t_hit < t_lims[c]))
+                    ts[c] = jnp.where(ok, t_hit, ts[c])
+                    idxs[c] = jnp.where(ok, ti, idxs[c])
+                    t_lims[c] = jnp.minimum(t_lims[c], ts[c])
+            for c in range(m):
+                t_scr[c][...] = ts[c]
+                idx_scr[c][...] = idxs[c]
+
+    def class_limits():
+        limits = []
+        for c in range(m):
+            lim = jnp.minimum(t_scr[c][...], tmax[c])
+            if any_hits[c]:
+                lim = jnp.where(idx_scr[c][...] < 0, lim, -INF)
+            limits.append(lim)
+        return limits
+
+    def all_done():
+        """True when every lane of every any-hit class has resolved — only
+        meaningful when ALL classes are any-hit (a closest-hit class never
+        resolves early)."""
+        done = None
+        for c in range(m):
+            dc = (idx_scr[c][...] >= 0) | dead[c]
+            done = dc if done is None else (done & dc)
+        return jnp.all(done)
+
+    exit_early = all(any_hits)
+
+    def body(sp):
+        k = jnp.minimum(jnp.minimum(sp, batch_k),
+                        jnp.maximum(batch_k * MAX_STACK - sp, 1))
+        limits = class_limits()
+        infos = []
+        for i in range(batch_k):
+            node = stack_ref[jnp.maximum(sp - 1 - i, 0)]
+            left = node + 1
+            right = meta_ref[2, node]
+            hits_l = slab(left, limits)
+            hits_r = slab(right, limits)
+            or_l = hits_l[0]
+            or_r = hits_r[0]
+            for c in range(1, m):
+                or_l = or_l | hits_l[c]
+                or_r = or_r | hits_r[c]
+            infos.append((node, left, right, hits_l, hits_r,
+                          jnp.any(or_l), jnp.any(or_r)))
+        sp_new = sp - k
+        for i in range(batch_k):
+            node, left, right, hits_l, hits_r, ent_l, ent_r = infos[i]
+            valid_i = i < k
+            ent_l = ent_l & valid_i
+            ent_r = ent_r & valid_i
+            count_l = meta_ref[1, left]
+            count_r = meta_ref[1, right]
+            visit(hits_l, ent_l, count_l, meta_ref[0, left])
+            visit(hits_r, ent_r, count_r, meta_ref[0, right])
+            axis = meta_ref[3, node]
+            left_low = meta_ref[4, node]
+            dpos = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz)) > 0
+            near_is_left = dpos == (left_low == 1)
+            push_l = ent_l & (count_l == 0)
+            push_r = ent_r & (count_r == 0)
+            far_node = jnp.where(near_is_left, right, left)
+            near_node = jnp.where(near_is_left, left, right)
+            push_far = jnp.where(near_is_left, push_r, push_l)
+            push_near = jnp.where(near_is_left, push_l, push_r)
+
+            @pl.when(push_far)
+            def _():
+                stack_ref[sp_new] = far_node
+
+            sp_new = sp_new + push_far.astype(jnp.int32)
+
+            @pl.when(push_near)
+            def _():
+                stack_ref[sp_new] = near_node
+
+            sp_new = sp_new + push_near.astype(jnp.int32)
+        if exit_early:
+            sp_new = jnp.where(all_done(), 0, sp_new)
+        return sp_new
+
+    for c in range(m):
+        t_scr[c][...] = jnp.full((rows, PACKET_LANES), INF, jnp.float32)
+        idx_scr[c][...] = jnp.full((rows, PACKET_LANES), -1, jnp.int32)
+    root_hits = slab(0, class_limits())
+    root_or = root_hits[0]
+    for c in range(1, m):
+        root_or = root_or | root_hits[c]
+    root_entered = jnp.any(root_or)
+    root_count = meta_ref[1, 0]
+    visit(root_hits, root_entered, root_count, meta_ref[0, 0])
+    stack_ref[0] = jnp.int32(0)
+    sp0 = jnp.where(root_entered & (root_count == 0), 1, 0).astype(jnp.int32)
+    jax.lax.while_loop(lambda sp: sp > 0, body, sp0)
+    for c in range(m):
+        t_out[c][...] = t_scr[c][...]
+        idx_out[c][...] = idx_scr[c][...]
+
+
 def scene_fits_smem(n_nodes: int, n_tris: int) -> bool:
     """Whether the packed scalar tables (meta 5 rows + aabb 6 rows + 12
     triangle-constant rows) fit the kernel's SMEM budget. Callers that get
@@ -485,7 +722,10 @@ def _trace_packets_impl(meta: Array, aabb: Array, tverts: Array,
         scratch_shapes=[
             pltpu.VMEM((rows, PACKET_LANES), jnp.float32),
             pltpu.VMEM((rows, PACKET_LANES), jnp.int32),
-            pltpu.SMEM((MAX_STACK,), jnp.int32),
+            # batched-K expansion needs ~K x the strict-DFS stack bound
+            # (see batched_stack_size)
+            pltpu.SMEM((batched_stack_size(batch_k) if batch_k > 0
+                        else MAX_STACK,), jnp.int32),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(shape2, jnp.float32),
@@ -494,6 +734,104 @@ def _trace_packets_impl(meta: Array, aabb: Array, tverts: Array,
     )(meta_p, aabb_p, tverts_p, rays)
 
     return t.reshape(n_pad)[:n], idx.reshape(n_pad)[:n]
+
+
+@partial(jax.jit, static_argnames=("any_hits", "rows", "batch_k"))
+def _trace_multi_impl(meta: Array, aabb: Array, tverts: Array,
+                      orig: Array, dirs: tuple, t_maxs: tuple,
+                      any_hits: tuple, rows: int = PACKET_ROWS,
+                      batch_k: int = 8) -> tuple:
+    """Fused multi-class traversal (see _kernel_multi): M direction/t_max
+    sets from SHARED per-lane origins. Returns ((t, idx), ...) per class,
+    each equal to the corresponding single-class trace."""
+    m = len(any_hits)
+    assert len(dirs) == len(t_maxs) == m and m >= 1
+    n = orig.shape[0]
+    n_nodes = meta.shape[1]
+    packet = rows * PACKET_LANES
+    n_pad = (n + packet - 1) // packet * packet
+    pad = n_pad - n
+
+    def prep(x, fill):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=fill)
+
+    orig = prep(orig, 0.0)
+    dirs = [prep(d, 1.0) for d in dirs]
+    tms = [prep(t, -1.0) for t in t_maxs]
+
+    n_packets = n_pad // packet
+    shape2 = (n_packets * rows, PACKET_LANES)
+    comps = [orig[:, 0], orig[:, 1], orig[:, 2]]
+    for d, tm in zip(dirs, tms):
+        comps += [d[:, 0], d[:, 1], d[:, 2], tm]
+    comps = [c.reshape(shape2) for c in comps]
+    width = (3 + 4 * m) * PACKET_LANES
+    rays = jnp.stack(comps, axis=1).reshape(shape2[0], width)
+
+    ray_spec = pl.BlockSpec((rows, width), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((rows, PACKET_LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def pad128(x):
+        w = x.shape[1]
+        wp = (w + 127) // 128 * 128
+        return jnp.pad(x, ((0, 0), (0, wp - w)))
+
+    meta_p, aabb_p, tverts_p = pad128(meta), pad128(aabb), pad128(tverts)
+    tab_specs = [
+        pl.BlockSpec(meta_p.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(aabb_p.shape, lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(tverts_p.shape, lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    kernel = functools.partial(_kernel_multi, n_nodes=n_nodes,
+                               any_hits=tuple(any_hits), rows=rows,
+                               batch_k=batch_k)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_packets,),
+        in_specs=tab_specs + [ray_spec],
+        out_specs=[out_spec] * (2 * m),
+        scratch_shapes=(
+            [pltpu.VMEM((rows, PACKET_LANES), jnp.float32)] * m
+            + [pltpu.VMEM((rows, PACKET_LANES), jnp.int32)] * m
+            + [pltpu.SMEM((batched_stack_size(batch_k),), jnp.int32)]),
+        out_shape=(
+            [jax.ShapeDtypeStruct(shape2, jnp.float32)] * m
+            + [jax.ShapeDtypeStruct(shape2, jnp.int32)] * m),
+    )(meta_p, aabb_p, tverts_p, rays)
+
+    return tuple((outs[c].reshape(n_pad)[:n],
+                  outs[m + c].reshape(n_pad)[:n]) for c in range(m))
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(6, 7, 8))
+def _trace_multi_cj(meta, aabb, tverts, orig, dirs, t_maxs,
+                    any_hits, rows, batch_k):
+    return _trace_multi_impl(meta, aabb, tverts, orig, tuple(dirs),
+                             tuple(t_maxs), any_hits, rows=rows,
+                             batch_k=batch_k)
+
+
+@_trace_multi_cj.defjvp
+def _trace_multi_jvp(any_hits, rows, batch_k, primals, tangents):
+    """Zero tangents: topology-only output (see _trace_packets_jvp)."""
+    del tangents
+    outs = _trace_multi_cj(*primals, any_hits, rows, batch_k)
+    return outs, tuple((jnp.zeros_like(t),
+                        np.zeros(idx.shape, jax.dtypes.float0))
+                       for t, idx in outs)
+
+
+def trace_multi(meta: Array, aabb: Array, tverts: Array, orig: Array,
+                dirs: list, t_maxs: list, any_hits: tuple,
+                rows: int = PACKET_ROWS, batch_k: int = 8) -> tuple:
+    """Public fused multi-class trace over pre-packed single-tree tables."""
+    return _trace_multi_cj(meta, aabb, tverts, orig, tuple(dirs),
+                           tuple(t_maxs), tuple(bool(a) for a in any_hits),
+                           int(rows), int(batch_k))
 
 
 @partial(jax.custom_jvp, nondiff_argnums=(6, 7, 8, 9))
@@ -533,7 +871,9 @@ def trace_packets(meta: Array, aabb: Array, tverts: Array,
 
 
 # ---------------------------------------------------------------------------
-# Scene-level wrapper with host-side packing cache
+# Scene-level wrapper (packing is traced — under jit it costs nothing per
+# call; eager hot-path callers that need a host-side cache use the chunked
+# twin's pattern, trace_chunked._pack_forest_cached)
 # ---------------------------------------------------------------------------
 
 def pack_scene(bvh: BVHSoA, tri: TriangleSoA) -> tuple[Array, Array, Array]:

@@ -148,6 +148,12 @@ class Renderer:
     #                  over the remote-TPU tunnel and dominated frame time)
 
     def __init__(self, scene: Scene, cfg: RenderConfig):
+        if cfg.enable_aniso == "auto":
+            # resolve on the CONCRETE material table now — inside the jitted
+            # frame the data is a tracer and "auto" would silently pick the
+            # isotropic path (integrator/path_tracer.resolve_aniso)
+            from tpuray.integrator.path_tracer import resolve_aniso
+            cfg = cfg.replace(enable_aniso=resolve_aniso(scene, cfg))
         self.scene = scene
         self.cfg = cfg
         self.state = FrameState.initial(cfg.height, cfg.width)

@@ -39,6 +39,15 @@ class RenderConfig:
     #        (path_tracing.frag:972-1052)
     integrator: str = "nee"
     max_tracing_depth: int = 2          # bounces per 1spp frame (slider 1-4)
+
+    # Anisotropic Disney specular (GTR2_aniso + aniso Smith-GGX, the
+    # reference's BRDF_Evaluate_aniso made live — path_tracing.frag:557-618):
+    # "auto" resolves to True iff the material table has any
+    # anisotropic > 0 row (resolved on concrete materials by the Renderer /
+    # eager trace_paths; inside a jit trace "auto" degrades to False, so
+    # direct render_frame callers with aniso scenes pass True). Isotropic
+    # scenes keep the exact reference math and pay zero extra ops.
+    enable_aniso: bool | str = "auto"
     clamp_threshold: float = 10.0       # radiance clamp
     accumulate: bool = True             # progressive accumulation
     use_normal_map: bool = False
@@ -90,13 +99,28 @@ class RenderConfig:
     # Off = reference per-pixel semantics.
     tile_coherent_sampling: bool = False
 
+    # Fused per-bounce secondary traversal (kernels/trace_pallas.trace_multi,
+    # TPU single-tree scenes only): walk the bounce ray + envmap shadow +
+    # point shadow — which share their origins — in ONE batched-K packet
+    # traversal, paying the per-node scalar readback stall, the fixed
+    # per-packet cost and the ray-operand DMA once for the union of the
+    # three classes. Identical per-pixel radiance (shadow classes only
+    # contribute their blocked/unblocked bit; the bounce class is
+    # decision-equivalent to the separate walk).
+    fused_secondary: bool = True
+
     # Bounce-boundary ray compaction (integrator/path_tracer.py): after the
     # primary trace, pack the surviving (hit) lanes densely into a buffer of
     # compact_frac * n rays and run the whole NEE + bounce loop at that
     # size — sky lanes stop paying for shading, gathers AND the incoherent
     # secondary traversals (dead packets at the compacted tail are skipped
-    # by the packet kernel). Bit-identical per-pixel output: every sample
-    # stream is keyed on (pixel, frame), not lane position. Frames where
+    # by the packet kernel). Per-pixel output is identical up to XLA fusion
+    # reassociation: every sample stream is keyed on (pixel, frame), not
+    # lane position, so the math is the same, but the two programs fuse
+    # differently and float reassociation can flip grazing shadow-
+    # visibility tests at isolated pixels (tests/test_compaction uses
+    # rtol=2e-4; exact-invariance users should set compact_frac=0 and
+    # compact_auto=False). Frames where
     # more rays survive than the budget run a residual full-width pass for
     # the overflow lanes (lax.cond — only pays when it happens).
     # 0 disables.

@@ -31,15 +31,30 @@ from tpuray.utils.checkpoint import load_frame_state, save_frame_state
 
 log = logging.getLogger("tpuray.elastic")
 
-# Status-code prefixes that indicate a *device/runtime* fault (worth a
-# restart) rather than a programming error (re-raise immediately). Matched
-# as message prefixes — substring search over the whole message would
-# misclassify ordinary JAX type/placement errors whose text mentions a
-# device (ADVICE r3).
-_FAULT_PREFIXES = (
+# Status codes that indicate a *device/runtime* fault (worth a restart)
+# rather than a programming error (re-raise immediately). For generic
+# exceptions they must appear as message PREFIXES — substring search over
+# an arbitrary message would misclassify ordinary JAX type/placement
+# errors whose text mentions a device (ADVICE r3). For runtime-layer error
+# types (JaxRuntimeError/XlaRuntimeError) the code may be wrapped
+# ("Execution failed: INTERNAL: ...", legacy "Internal:", plugin tunnel
+# text), so there the tokens are matched anywhere on a word boundary
+# (ADVICE r4: prefix-only matching let wrapped device faults kill an
+# elastic run instead of restoring from checkpoint).
+_FAULT_CODES = (
     "UNAVAILABLE", "INTERNAL", "DATA_LOSS", "ABORTED", "DEADLINE_EXCEEDED",
 )
 _FAULT_SUBSTRINGS = ("worker process crashed",)
+_FAULT_TOKEN_RE = None  # compiled lazily
+
+
+def _fault_token_anywhere(msg: str) -> bool:
+    global _FAULT_TOKEN_RE
+    if _FAULT_TOKEN_RE is None:
+        import re
+        alts = "|".join(_FAULT_CODES)
+        _FAULT_TOKEN_RE = re.compile(rf"\b({alts})\b", re.IGNORECASE)
+    return _FAULT_TOKEN_RE.search(msg) is not None
 
 
 def is_device_fault(exc: BaseException) -> bool:
@@ -48,11 +63,13 @@ def is_device_fault(exc: BaseException) -> bool:
     name = type(exc).__name__
     msg = str(exc)
     if name in ("JaxRuntimeError", "XlaRuntimeError"):
-        # runtime-layer errors still carry status codes; INVALID_ARGUMENT
-        # etc. are programming errors even from the runtime
-        return (msg.lstrip().startswith(_FAULT_PREFIXES)
+        # already a runtime-layer error: a status-code token anywhere in
+        # the (possibly wrapping) message marks it a device fault;
+        # INVALID_ARGUMENT etc. are programming errors even from the
+        # runtime and carry none of the fault codes
+        return (_fault_token_anywhere(msg)
                 or any(m in msg for m in _FAULT_SUBSTRINGS))
-    return (msg.lstrip().startswith(_FAULT_PREFIXES)
+    return (msg.lstrip().startswith(_FAULT_CODES)
             or any(m in msg for m in _FAULT_SUBSTRINGS))
 
 
