@@ -433,14 +433,17 @@ def main() -> None:
         except Exception as e:
             emit({"metric": "gradcheck_rel_err", "error": repr(e)[:200]})
 
-    # beyond-SMEM scene on the chunk-streaming kernel (131k tris, 64
-    # chunks): the single-tree packet kernel cannot run this size at all
-    # and the XLA wavefront needs minutes (scripts/exp_chunked.py)
-    if have_time(120):
+    # beyond-SMEM scenes on the chunk-streaming kernel (131k tris / 16
+    # chunks and 524k tris / 64 chunks at 8k-tri chunks): the single-tree
+    # packet kernel cannot run these sizes at all and the XLA wavefront
+    # needs minutes (scripts/exp_chunked.py)
+    for label, subdiv, est_s in (("131k", 4, 120), ("524k", 5, 240)):
+        if not have_time(est_s):
+            continue
         try:
             from tpuray.scene.procedural import make_large_scene
             from tpuray.kernels import trace_chunked as tc
-            big = make_large_scene(n_spheres=25, subdiv=4, env_width=64)
+            big = make_large_scene(n_spheres=25, subdiv=subdiv, env_width=64)
             bmeta, baabb, btv = jax.jit(tc.pack_forest)(
                 big.bvh, big.triangles)
 
@@ -453,15 +456,23 @@ def main() -> None:
             def sync_big():
                 np.asarray(state["big"][0][:1])
 
-            dt_big = timed(run_big, sync_big, iters=3, trials=2)
-            emit({"metric": "trace_chunked_131k_rays_per_second",
+            # iters=8: the chunk loop is 16-64 sequential dispatches, so
+            # short runs under-amortize tunnel dispatch (14.97 vs 10.2 ms
+            # measured at iters 3 vs 8)
+            st_big = timed_stats(run_big, sync_big, iters=8, trials=3)
+            dt_big = st_big["min"]
+            emit({"metric": f"trace_chunked_{label}_rays_per_second",
                   "value": n_rays / dt_big, "unit": "rays/s",
                   "tris": int(big.triangles.count),
                   "chunks": int(big.bvh.n_chunks),
+                  "spread_mrays": {
+                      "min": round(n_rays / st_big["max"] / 1e6, 1),
+                      "median": round(n_rays / st_big["median"] / 1e6, 1),
+                      "max": round(n_rays / st_big["min"] / 1e6, 1)},
                   "vs_baseline": (n_rays / dt_big) / baseline})
             del big, bmeta, baabb, btv
         except Exception as e:
-            emit({"metric": "trace_chunked_131k_rays_per_second",
+            emit({"metric": f"trace_chunked_{label}_rays_per_second",
                   "error": repr(e)[:200]})
 
     emit({"metric": "bench_total_s", "value": round(elapsed(), 1), "unit": "s"})

@@ -4,13 +4,15 @@ The single-tree packet kernel (trace_pallas.py) keeps the whole scene's
 node/triangle constants in SMEM — a hard ~15-20k-triangle ceiling. This
 kernel removes it: the scene is a uniform forest of SMEM-sized chunks
 (scene/partition.py, BVHSoA.chunk_nodes/chunk_tris) whose tables live in
-HBM; one pallas_call per chunk loads that chunk's tables into SMEM whole
-and sweeps every ray packet against them, with per-lane (t, idx) threaded
-between calls at the XLA level, so later chunks are culled against the
-best hit so far and a chunk whose root AABB misses every ray in a packet
-costs one slab test. (A single-call (packet, chunk) grid with SMEM-blocked
-chunk inputs was measured 100x slower: tables re-streamed into SMEM per
-packet at SMEM's low DMA fill bandwidth.)
+HBM; one pallas_call per chunk loads that chunk's tables into SMEM once
+and sweeps ONLY the ray packets that can enter it — a dynamic grid sized
+to the chunk's live-packet count, fed by conservative per-(packet, chunk)
+interval flags, with per-lane (t, idx) threaded between calls at the XLA
+level so later chunks are culled against the best hit so far. A
+(packet, chunk) pair the bound proves dead costs nothing (at the flagship
+131k pose ~86% of pairs are dead). (A single-call (packet, chunk) grid
+with SMEM-blocked chunk inputs was measured 100x slower: tables
+re-streamed into SMEM per packet at SMEM's low DMA fill bandwidth.)
 
 The walk inside a chunk is the same scalar-stack packet DFS as
 trace_pallas._kernel, with identical per-triangle op order (bit-parity with
@@ -61,32 +63,37 @@ def chunk_fits_smem(chunk_nodes: int, chunk_tris: int) -> bool:
     return per_chunk + 23 * 512 < 900_000
 
 
-def _kernel(base_ref, flags_ref, meta_ref, aabb_ref, tverts_ref,
+def _kernel(hdr_ref, ids_ref, meta_ref, aabb_ref, tverts_ref,
             rays_ref, t_in_ref, idx_in_ref, t_out, idx_out, stack_ref,
-            *, any_hit: bool, common_origin: bool, batch_k: int):
-    # One chunk per pallas_call: its tables land in SMEM once (whole-array
-    # SMEM inputs) and every packet (grid) streams through VMEM against
-    # them. The packet-outer/chunk-inner single-call variant was measured
-    # 100x slower — SMEM DMA fill bandwidth made per-packet table
-    # re-streaming the bottleneck — and cross-step input/output aliasing is
-    # not modeled by interpret mode, so the chunk loop lives at the XLA
-    # level (trace loop in _trace_chunked_impl) with (t, idx) threaded
-    # between calls. tri_base arrives via scalar prefetch so every chunk
-    # reuses ONE compiled kernel.
-    # Per-packet chunk shortlist (round 4): flags_ref[p] == 0 means the
-    # conservative packet-interval bound proved NO ray of packet p can
-    # enter this chunk — the step then does only the (t, idx) carry copy,
-    # skipping the whole prologue + walk.
-    # Round 5: batched-K expansion (see BATCH_K_CHUNKED) + the 7 ray
+            *, any_hit: bool, common_origin: bool, batch_k: int,
+            chunk_tris: int):
+    # One chunk per pallas_call: its tables land in SMEM once (blocked SMEM
+    # inputs whose index map selects the chunk column — constant across the
+    # grid, so the pipeline fetches them once) and the chunk's LIVE packets
+    # stream through VMEM against them. (A packet-outer/chunk-inner
+    # single-call variant was measured 100x slower — SMEM DMA fill
+    # bandwidth made per-packet table re-streaming the bottleneck — so the
+    # chunk loop lives at the XLA level with (t, idx) threaded between
+    # calls.)
+    # Round-5 live-pair grid: the conservative per-(packet, chunk) entry
+    # flags (round 4) now shrink the grid itself instead of cheapening dead
+    # steps — the grid is sized to this chunk's live-packet count (dynamic
+    # grid) and ids_ref holds the compacted live packet ids, which the
+    # ray/t/idx BlockSpec index maps read, so a packet the interval bound
+    # proves can't enter the chunk costs NOTHING. t/idx are input_output-
+    # aliased: blocks of packets not in the live list are never DMA'd and
+    # their HBM contents persist. hdr = [chunk_id, n_live]; when n_live==0
+    # the grid is clamped to one guarded carry-copy step.
+    # Also: batched-K expansion (see BATCH_K_CHUNKED) + the 7 ray
     # components packed into ONE VMEM block (rows, 7*128) — one DMA
     # descriptor per grid step instead of seven, as in trace_pallas.
-    tri_base = base_ref[0]
+    tri_base = hdr_ref[0] * chunk_tris
     t_out[...] = t_in_ref[...]
     idx_out[...] = idx_in_ref[...]
     t_scr = t_out
     idx_scr = idx_out
 
-    @pl.when(flags_ref[pl.program_id(0)] != 0)
+    @pl.when(pl.program_id(0) < hdr_ref[1])
     def _walk():
 
         if common_origin:
@@ -361,64 +368,90 @@ def _trace_chunked_impl(meta: Array, aabb: Array, tverts: Array,
     t = jnp.full(shape2, INF, jnp.float32)
     idx = jnp.full(shape2, -1, jnp.int32)
 
-    # --- chunk culling + ordering (round-4): conservative per-packet entry
-    # flags against each chunk's root AABB, reduced to a per-chunk any();
-    # chunks no packet can enter are skipped wholesale under lax.cond, and
-    # the survivors run front-to-back from the mean ray origin so the
+    # --- live-pair compaction + ordering (round-5): conservative
+    # per-(packet, chunk) entry flags against each chunk's root AABB;
+    # per chunk, the live packet ids are compacted into a prefetch list and
+    # the grid is sized to the live count (dynamic grid), so a dead pair
+    # costs nothing at all — at the flagship 131k pose only ~14% of pairs
+    # are live. Chunks run front-to-back from the mean ray origin so the
     # threaded (t, idx) carry culls far chunks against near hits.
+    # NOTE deliberately no jnp.argsort / scatter here: an argsort of even
+    # 16 elements lowers to a ~3 ms sort loop on this backend (measured,
+    # docs/perf.md) — ranks come from O(C^2)/O(P^2) comparison networks,
+    # which the VPU does in microseconds at these sizes.
     roots = aabb.reshape(6, n_chunks, cn)[:, :, 0]  # chunk root = local 0
     flags = _packet_chunk_flags(comps, roots[:3], roots[3:], n_packets)
-    chunk_live = flags.any(axis=0)  # (C,)
+    live_counts = flags.sum(axis=0).astype(jnp.int32)  # (C,)
     centroid = 0.5 * (roots[:3] + roots[3:])  # (3, C)
     mean_o = jnp.stack([c.mean() for c in comps[:3]])
     dist = jnp.sum((centroid - mean_o[:, None]) ** 2, axis=0)
-    perm = jnp.argsort(dist).astype(jnp.int32)  # near chunks first
+    # near chunks first: rank by pairwise comparisons, then invert
+    arc = jnp.arange(n_chunks, dtype=jnp.int32)
+    before = ((dist[None, :] < dist[:, None])
+              | ((dist[None, :] == dist[:, None])
+                 & (arc[None, :] < arc[:, None])))
+    rank = before.sum(axis=1).astype(jnp.int32)  # position of chunk i
+    perm = jnp.sum(jnp.where(rank[None, :] == arc[:, None], arc[None, :], 0),
+                   axis=1)  # perm[k] = chunk at position k
+    # compacted live packet ids per chunk: ids_all[c, j] = j-th live packet
+    slot = jnp.arange(n_packets, dtype=jnp.int32)
+    prank = jnp.cumsum(flags, axis=0) - 1  # (P, C) rank among chunk's live
+    eq = ((prank.T[:, :, None] == slot[None, None, :])
+          & flags.T[:, :, None])  # (C, P_in, P_slot)
+    ids_all = jnp.einsum("cps,p->cs", eq.astype(jnp.float32),
+                         slot.astype(jnp.float32)).astype(jnp.int32)
 
     ray_spec = pl.BlockSpec((rows, PACKET_LANES),
-                            lambda p, *_: (p, 0), memory_space=pltpu.VMEM)
+                            lambda g, hdr, ids: (ids[g], 0),
+                            memory_space=pltpu.VMEM)
     rays_spec = pl.BlockSpec((rows, 7 * PACKET_LANES),
-                             lambda p, *_: (p, 0), memory_space=pltpu.VMEM)
-    smem_full = [
-        pl.BlockSpec((5, cn), lambda p, *_: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((6, cn), lambda p, *_: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((12, ct), lambda p, *_: (0, 0), memory_space=pltpu.SMEM),
+                             lambda g, hdr, ids: (ids[g], 0),
+                             memory_space=pltpu.VMEM)
+    smem_chunk = [
+        pl.BlockSpec((5, cn), lambda g, hdr, ids: (0, hdr[0]),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((6, cn), lambda g, hdr, ids: (0, hdr[0]),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((12, ct), lambda g, hdr, ids: (0, hdr[0]),
+                     memory_space=pltpu.SMEM),
     ]
     kernel = functools.partial(_kernel, any_hit=any_hit,
-                               common_origin=common_origin, batch_k=batch_k)
-    call = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            # tri_base + per-packet entry flags (one compiled kernel, C calls)
-            num_scalar_prefetch=2,
-            grid=(n_packets,),
-            in_specs=smem_full + [rays_spec, ray_spec, ray_spec],
-            out_specs=[ray_spec, ray_spec],
-            scratch_shapes=[pltpu.SMEM((batched_stack_size(batch_k),),
-                                       jnp.int32)],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct(shape2, jnp.float32),
-            jax.ShapeDtypeStruct(shape2, jnp.int32),
-        ],
-    )
-
-    flags_i32 = flags.astype(jnp.int32)
+                               common_origin=common_origin, batch_k=batch_k,
+                               chunk_tris=ct)
 
     def run_chunk(ci, t, idx):
-        base = (ci * ct)[None]
-        fl = jax.lax.dynamic_slice(flags_i32, (0, ci), (n_packets, 1))[:, 0]
-        m = jax.lax.dynamic_slice(meta, (0, ci * cn), (5, cn))
-        a = jax.lax.dynamic_slice(aabb, (0, ci * cn), (6, cn))
-        tv = jax.lax.dynamic_slice(tverts, (0, ci * ct), (12, ct))
-        return call(base, fl, m, a, tv, rays, t, idx)
+        n_live = jnp.take(live_counts, ci)
+        hdr = jnp.stack([ci, n_live]).astype(jnp.int32)
+        ids_c = jnp.take(ids_all, ci, axis=0)
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(jnp.maximum(n_live, 1),),  # dynamic: live pairs only
+                in_specs=smem_chunk + [rays_spec, ray_spec, ray_spec],
+                out_specs=[ray_spec, ray_spec],
+                scratch_shapes=[pltpu.SMEM((batched_stack_size(batch_k),),
+                                           jnp.int32)],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct(shape2, jnp.float32),
+                jax.ShapeDtypeStruct(shape2, jnp.int32),
+            ],
+            # blocks outside the live list are never DMA'd; aliasing keeps
+            # their HBM contents (the carry) intact
+            input_output_aliases={6: 0, 7: 1},
+        )
+        return call(hdr, ids_c, meta, aabb, tverts, rays, t, idx)
 
-    for c in range(n_chunks):
-        ci = perm[c]
-        t, idx = jax.lax.cond(
-            chunk_live[ci],
-            lambda args: run_chunk(*args),
-            lambda args: (args[1], args[2]),
-            (ci, t, idx))
+    # fori_loop, not an unrolled python loop: every chunk's call is the
+    # SAME kernel (chunk identity arrives via traced hdr/ids/grid), so one
+    # pallas_call lowering serves all chunks — an unrolled 64-chunk program
+    # took >15 min to compile
+    def loop_body(k, carry):
+        t, idx = carry
+        return run_chunk(jnp.take(perm, k), t, idx)
+
+    t, idx = jax.lax.fori_loop(0, n_chunks, loop_body, (t, idx))
 
     return t.reshape(n_pad)[:n], idx.reshape(n_pad)[:n]
 

@@ -116,7 +116,7 @@ def make_test_scene(subdiv: int = 2, with_lights: bool = True,
 
 
 def make_large_scene(n_spheres: int = 25, subdiv: int = 3,
-                     max_chunk_tris: int = 3072, leaf_size: int = 8,
+                     max_chunk_tris: int = 8192, leaf_size: int = 8,
                      env_width: int = 128, seed: int = 11) -> Scene:
     """Procedural large scene (n_spheres * 20*4^subdiv tris + ground) built
     as a uniform chunked forest — exercises the beyond-SMEM traversal path
