@@ -53,19 +53,43 @@ class SVGFOutput(NamedTuple):
 def svgf_pipeline(color: Array, emission: Array, albedo: Array,
                   gbuf: GBuffer, state: FrameState,
                   cfg: RenderConfig, static_camera: bool = False) -> SVGFOutput:
-    rep = reproject(
-        color=color, emission=emission, albedo=albedo,
-        motion=gbuf.velocity, normal=gbuf.normal, linear_z=gbuf.linear_z,
-        fwidth_normal=gbuf.fwidth_normal, fwidth_z=gbuf.fwidth_z,
-        prev_illum=state.illum_hist, prev_variance=state.variance_hist,
-        prev_normal=state.prev_normal, prev_linear_z=state.prev_linear_z,
-        prev_moments=state.moments, prev_history_len=state.history_len,
-        cfg=cfg, static_camera=static_camera)
+    from tpuray.denoise.reproject import ReprojectOutput, _gather_mode
+    from tpuray.denoise.variance import VarianceOutput
 
-    var = estimate_variance(
-        illum=rep.illum, variance=rep.variance, moments=rep.moments,
-        history_len=rep.history_len, normal=gbuf.normal,
-        linear_z=gbuf.linear_z, fwidth_z=gbuf.fwidth_z, cfg=cfg)
+    use_fused = (not static_camera and cfg.pallas_denoise and _on_tpu()
+                 and _gather_mode(cfg) == "tiled")
+    if use_fused:
+        # one Pallas pass for reproject + spatial-variance fallback
+        # (kernels/reproject_pallas.py)
+        from tpuray.kernels.reproject_pallas import reproject_variance_fused
+        fused = reproject_variance_fused(
+            color=color, emission=emission, albedo=albedo,
+            motion=gbuf.velocity, normal=gbuf.normal,
+            linear_z=gbuf.linear_z, fwidth_normal=gbuf.fwidth_normal,
+            fwidth_z=gbuf.fwidth_z, prev_illum=state.illum_hist,
+            prev_variance=state.variance_hist,
+            prev_normal=state.prev_normal,
+            prev_linear_z=state.prev_linear_z, prev_moments=state.moments,
+            prev_history_len=state.history_len, cfg=cfg)
+        rep = ReprojectOutput(
+            illum=fused.rep_illum, variance=fused.rep_variance,
+            moments=fused.moments, history_len=fused.history_len)
+        var = VarianceOutput(illum=fused.var_illum,
+                             variance=fused.var_variance)
+    else:
+        rep = reproject(
+            color=color, emission=emission, albedo=albedo,
+            motion=gbuf.velocity, normal=gbuf.normal, linear_z=gbuf.linear_z,
+            fwidth_normal=gbuf.fwidth_normal, fwidth_z=gbuf.fwidth_z,
+            prev_illum=state.illum_hist, prev_variance=state.variance_hist,
+            prev_normal=state.prev_normal, prev_linear_z=state.prev_linear_z,
+            prev_moments=state.moments, prev_history_len=state.history_len,
+            cfg=cfg, static_camera=static_camera)
+
+        var = estimate_variance(
+            illum=rep.illum, variance=rep.variance, moments=rep.moments,
+            history_len=rep.history_len, normal=gbuf.normal,
+            linear_z=gbuf.linear_z, fwidth_z=gbuf.fwidth_z, cfg=cfg)
 
     illum, variance = var.illum, var.variance
     if cfg.num_atrous_iterations > 0 and cfg.pallas_denoise and _on_tpu():
